@@ -1,0 +1,476 @@
+"""PBF-style payload decode: framed binary column -> nodes / ways / relations
+DataFrames.
+
+Spark-first re-expression of the reference's streaming decode pipeline
+(``OSM-pbf-convert/PbfBlobParser.cs:49-102`` framing scan,
+``OsmReader/PbfPrimitiveReader.cs:106-370`` block decode,
+``OsmReader/PrimitiveDecoder.cs`` delta/granularity entity decode):
+
+- the whole single-threaded blob loop becomes a ``mapInArrow`` over the
+  pages table -- one Python worker per input partition, each decoding its
+  batch of payloads with numpy-vectorized packed-varint decodes;
+- blob-type filtering (``PbfFileProcessor.cs:42-43``) happens before the
+  expensive block decode, inside the same pass;
+- zlib blobs: full-buffer ``zlib.decompress`` (the reference skips a 2-byte
+  zlib header then inflates -- same bytes out);
+- dense-node coordinates: ``coord = 1e-9 * (offset + granularity * cumsum)``
+  in float64, bit-identical to C# double math
+  (``PrimitiveDecoder.cs:97-98``);
+- plain (non-dense) nodes raise NotImplementedError exactly like the
+  reference (``PrimitiveDecoder.cs:122-130``).
+
+The parser layer (``parse_payload``) is pure Python+numpy and reusable
+outside Spark (tests, oracles). The Spark layer never loops per *entity* in
+Python -- only per page/blob, with all packed arrays decoded vectorized.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from osm_pbf_convert_spark.codecs import decode_varints, zigzag_decode
+from osm_pbf_convert_spark.functions.cells import quantize_np
+
+# protobuf wire types
+_VARINT, _I64, _LEN, _I32 = 0, 1, 2, 5
+
+
+def _read_varint(mv, pos: int) -> tuple[int, int]:
+    res = 0
+    shift = 0
+    while True:
+        b = mv[pos]
+        pos += 1
+        res |= (b & 0x7F) << shift
+        if b < 0x80:
+            return res & 0xFFFFFFFFFFFFFFFF, pos
+        shift += 7
+
+
+def _scan_fields(mv, start: int, end: int):
+    """Yield (field_no, wire_type, value_or_slice) over one message."""
+    pos = start
+    while pos < end:
+        key, pos = _read_varint(mv, pos)
+        fno, wt = key >> 3, key & 0x7
+        if wt == _VARINT:
+            val, pos = _read_varint(mv, pos)
+            yield fno, wt, val
+        elif wt == _LEN:
+            ln, pos = _read_varint(mv, pos)
+            yield fno, wt, (pos, pos + ln)
+            pos += ln
+        elif wt == _I64:
+            yield fno, wt, (pos, pos + 8)
+            pos += 8
+        elif wt == _I32:
+            yield fno, wt, (pos, pos + 4)
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _packed_u64(mv, span) -> np.ndarray:
+    return decode_varints(np.frombuffer(mv, dtype=np.uint8, count=span[1] - span[0], offset=span[0]))
+
+
+def _packed_s64(mv, span) -> np.ndarray:
+    return zigzag_decode(_packed_u64(mv, span))
+
+
+@dataclass
+class DecodedNodes:
+    ids: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    lat: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    lon: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    tag_counts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int32))
+    tag_keys: list = field(default_factory=list)
+    tag_vals: list = field(default_factory=list)
+
+
+@dataclass
+class DecodedWays:
+    ids: list = field(default_factory=list)
+    refs: list = field(default_factory=list)  # list[np.ndarray]
+    tags: list = field(default_factory=list)  # list[dict]
+
+
+@dataclass
+class DecodedRelations:
+    ids: list = field(default_factory=list)
+    members: list = field(default_factory=list)  # list[(mtype, ref, role)]
+    tags: list = field(default_factory=list)
+
+
+@dataclass
+class DecodedPayload:
+    nodes: DecodedNodes = field(default_factory=DecodedNodes)
+    ways: DecodedWays = field(default_factory=DecodedWays)
+    relations: DecodedRelations = field(default_factory=DecodedRelations)
+    n_blobs: int = 0
+    n_data_blobs: int = 0
+
+
+def _decode_string_table(mv, span) -> np.ndarray:
+    out = []
+    for fno, wt, val in _scan_fields(mv, span[0], span[1]):
+        if fno == 1 and wt == _LEN:
+            out.append(bytes(mv[val[0]:val[1]]).decode("utf-8"))
+    return np.asarray(out, dtype=object)
+
+
+def _decode_dense(mv, span, strings, gran, lat_off, lon_off, out: DecodedNodes):
+    ids = lats = lons = None
+    kv = np.empty(0, np.int64)
+    for fno, wt, val in _scan_fields(mv, span[0], span[1]):
+        if wt != _LEN:
+            continue
+        if fno == 1:
+            ids = _packed_s64(mv, val)
+        elif fno == 8:
+            lats = _packed_s64(mv, val)
+        elif fno == 9:
+            lons = _packed_s64(mv, val)
+        elif fno == 10:
+            kv = _packed_u64(mv, val).astype(np.int64)
+    if ids is None:
+        return
+    if lats is None or lons is None or len(ids) != len(lats) or len(ids) != len(lons):
+        raise ValueError("Dense node should have equal count of Ids, Longitudes and Latitudes")
+    n = len(ids)
+    ids = np.cumsum(ids, dtype=np.int64)
+    lat_raw = np.cumsum(lats, dtype=np.int64)
+    lon_raw = np.cumsum(lons, dtype=np.int64)
+    # exact C# double math: 1e-9 * (offset + granularity * cumsum)
+    lat = 1e-9 * (lat_off + gran * lat_raw).astype(np.float64)
+    lon = 1e-9 * (lon_off + gran * lon_raw).astype(np.float64)
+
+    counts = np.zeros(n, dtype=np.int32)
+    keys: list = []
+    vals: list = []
+    if kv.size > n:  # at least one tag pair exists
+        # reference semantics: zeros are terminators only at KEY positions
+        # (PrimitiveDecoder.cs:102-109)
+        i = 0
+        for node in range(n):
+            c = 0
+            while i < kv.size and kv[i] != 0:
+                keys.append(strings[kv[i]])
+                vals.append(strings[kv[i + 1]])
+                i += 2
+                c += 1
+            i += 1
+            counts[node] = c
+    out.ids = np.concatenate([out.ids, ids])
+    out.lat = np.concatenate([out.lat, lat])
+    out.lon = np.concatenate([out.lon, lon])
+    out.tag_counts = np.concatenate([out.tag_counts, counts])
+    out.tag_keys.extend(keys)
+    out.tag_vals.extend(vals)
+
+
+def _decode_tags(keys_span, vals_span, mv, strings) -> dict:
+    if keys_span is None or vals_span is None:
+        return {}
+    k = _packed_u64(mv, keys_span).astype(np.int64)
+    v = _packed_u64(mv, vals_span).astype(np.int64)
+    if k.size == 0:
+        return {}
+    return dict(zip(strings[k].tolist(), strings[v].tolist()))
+
+
+def _decode_way(mv, span, strings, out: DecodedWays):
+    wid = 0
+    keys_span = vals_span = None
+    refs = np.empty(0, np.int64)
+    for fno, wt, val in _scan_fields(mv, span[0], span[1]):
+        if fno == 1 and wt == _VARINT:
+            wid = val
+        elif fno == 2 and wt == _LEN:
+            keys_span = val
+        elif fno == 3 and wt == _LEN:
+            vals_span = val
+        elif fno == 8 and wt == _LEN:
+            refs = np.cumsum(_packed_s64(mv, val), dtype=np.int64)
+    out.ids.append(wid)
+    out.refs.append(refs)
+    out.tags.append(_decode_tags(keys_span, vals_span, mv, strings))
+
+
+def _decode_relation(mv, span, strings, out: DecodedRelations):
+    rid = 0
+    keys_span = vals_span = None
+    roles = mids = mtypes = np.empty(0, np.int64)
+    for fno, wt, val in _scan_fields(mv, span[0], span[1]):
+        if fno == 1 and wt == _VARINT:
+            rid = val
+        elif fno == 2 and wt == _LEN:
+            keys_span = val
+        elif fno == 3 and wt == _LEN:
+            vals_span = val
+        elif fno == 8 and wt == _LEN:
+            roles = _packed_u64(mv, val).astype(np.int64)
+        elif fno == 9 and wt == _LEN:
+            mids = np.cumsum(_packed_s64(mv, val), dtype=np.int64)
+        elif fno == 10 and wt == _LEN:
+            mtypes = _packed_u64(mv, val).astype(np.int64)
+    role_strs = strings[roles] if roles.size else np.empty(0, object)
+    out.ids.append(rid)
+    out.members.append(
+        list(zip(mtypes.astype(np.int32).tolist(), mids.tolist(), role_strs.tolist()))
+    )
+    out.tags.append(_decode_tags(keys_span, vals_span, mv, strings))
+
+
+def _decode_block(block: bytes, out: DecodedPayload, want):
+    mv = memoryview(block)
+    strings = np.empty(0, object)
+    gran, lat_off, lon_off = 100, 0, 0
+    groups = []
+    for fno, wt, val in _scan_fields(mv, 0, len(mv)):
+        if fno == 1 and wt == _LEN:
+            strings = _decode_string_table(mv, val)
+        elif fno == 2 and wt == _LEN:
+            groups.append(val)
+        elif fno == 17 and wt == _VARINT:
+            gran = val
+        elif fno == 19 and wt == _VARINT:
+            lat_off = zigzag_like_int64(val)
+        elif fno == 20 and wt == _VARINT:
+            lon_off = zigzag_like_int64(val)
+    for g in groups:
+        for fno, wt, val in _scan_fields(mv, g[0], g[1]):
+            if wt != _LEN:
+                continue
+            if fno == 1:
+                raise NotImplementedError(
+                    "Reading of plain nodes is not implemented. Only dense nodes are supported."
+                )
+            if fno == 2 and "nodes" in want:
+                _decode_dense(mv, val, strings, gran, lat_off, lon_off, out.nodes)
+            elif fno == 3 and "ways" in want:
+                _decode_way(mv, val, strings, out.ways)
+            elif fno == 4 and "relations" in want:
+                _decode_relation(mv, val, strings, out.relations)
+
+
+def zigzag_like_int64(v: int) -> int:
+    """PrimitiveBlock offsets are plain int64 varints (reference reads them
+    with ReadInt64, not sint64) -- reinterpret the u64 as two's complement."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def parse_payload(payload: bytes, want=("nodes", "ways", "relations")) -> DecodedPayload:
+    """Parse one framed payload: repeated [4B BE len][BlobHeader][Blob]."""
+    out = DecodedPayload()
+    if payload is None or len(payload) == 0:
+        return out
+    mv = memoryview(payload)
+    pos = 0
+    total = len(mv)
+    while pos < total:
+        hlen = int.from_bytes(mv[pos:pos + 4], "big")
+        pos += 4
+        btype = ""
+        dsize = 0
+        for fno, wt, val in _scan_fields(mv, pos, pos + hlen):
+            if fno == 1 and wt == _LEN:
+                btype = bytes(mv[val[0]:val[1]]).decode("utf-8")
+            elif fno == 3 and wt == _VARINT:
+                dsize = val
+        pos += hlen
+        blob_start, blob_end = pos, pos + dsize
+        pos = blob_end
+        out.n_blobs += 1
+        if btype != "OSMData":  # scan-level type filter (PbfFileProcessor.cs:42-43)
+            continue
+        out.n_data_blobs += 1
+        raw = defl = None
+        for fno, wt, val in _scan_fields(mv, blob_start, blob_end):
+            if fno == 1 and wt == _LEN:
+                raw = val
+            elif fno == 3 and wt == _LEN:
+                defl = val
+            elif fno == 4 and wt == _LEN:
+                raise NotImplementedError("Blob of type BZip is not supported.")
+            elif fno == 5 and wt == _LEN:
+                raise NotImplementedError("Blob of type LZMA is not supported.")
+        if raw is not None:
+            block = bytes(mv[raw[0]:raw[1]])
+        elif defl is not None:
+            block = zlib.decompress(bytes(mv[defl[0]:defl[1]]))
+        else:
+            continue
+        _decode_block(block, out, want)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark layer: mapInArrow wrappers
+# ---------------------------------------------------------------------------
+
+_MAP_T = pa.map_(pa.string(), pa.string())
+
+
+def _tags_map_array(counts: np.ndarray, keys: list, vals: list) -> pa.MapArray:
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(keys, pa.string()),
+        pa.array(vals, pa.string()),
+    )
+
+
+def _dict_map_array(dicts: list) -> pa.MapArray:
+    counts = np.fromiter((len(d) for d in dicts), dtype=np.int32, count=len(dicts))
+    keys: list = []
+    vals: list = []
+    for d in dicts:
+        keys.extend(d.keys())
+        vals.extend(d.values())
+    return _tags_map_array(counts, keys, vals)
+
+
+def _passthrough_take(batch: pa.RecordBatch, cols: list[str], repeats: np.ndarray) -> list[pa.Array]:
+    idx = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), repeats))
+    return [batch.column(c).take(idx) for c in cols]
+
+
+def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+    """pages -> nodes(passthrough..., id, lat, lon, ilat, ilon, tags).
+
+    ilat/ilon are the reference's exact int32 quantization
+    (Helpers.cs:3-6, C# truncation toward zero).
+    """
+    pcols = list(passthrough)
+    in_df = df.select(*pcols, payload_col)
+
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", id bigint, lat double, lon double, ilat int, ilon int, tags map<string,string>"
+    )
+
+    def fn(batches):
+        for batch in batches:
+            payloads = batch.column(payload_col)
+            per_row: list[DecodedPayload] = [
+                parse_payload(payloads[i].as_py(), want=("nodes",))
+                for i in range(batch.num_rows)
+            ]
+            repeats = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            if repeats.sum() == 0:
+                continue
+            ids = np.concatenate([p.nodes.ids for p in per_row])
+            lat = np.concatenate([p.nodes.lat for p in per_row])
+            lon = np.concatenate([p.nodes.lon for p in per_row])
+            counts = np.concatenate([p.nodes.tag_counts for p in per_row])
+            keys: list = []
+            vals: list = []
+            for p in per_row:
+                keys.extend(p.nodes.tag_keys)
+                vals.extend(p.nodes.tag_vals)
+            arrays = _passthrough_take(batch, pcols, repeats)
+            arrays += [
+                pa.array(ids, pa.int64()),
+                pa.array(lat, pa.float64()),
+                pa.array(lon, pa.float64()),
+                pa.array(quantize_np(lat), pa.int32()),
+                pa.array(quantize_np(lon), pa.int32()),
+                _tags_map_array(counts, keys, vals),
+            ]
+            names = pcols + ["id", "lat", "lon", "ilat", "ilon", "tags"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return in_df.mapInArrow(fn, out_schema)
+
+
+def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+    pcols = list(passthrough)
+    in_df = df.select(*pcols, payload_col)
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", id bigint, refs array<bigint>, tags map<string,string>"
+    )
+
+    def fn(batches):
+        for batch in batches:
+            payloads = batch.column(payload_col)
+            per_row = [
+                parse_payload(payloads[i].as_py(), want=("ways",))
+                for i in range(batch.num_rows)
+            ]
+            repeats = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            if repeats.sum() == 0:
+                continue
+            ids: list = []
+            refs_flat: list = []
+            ref_counts: list = []
+            tags: list = []
+            for p in per_row:
+                ids.extend(p.ways.ids)
+                for r in p.ways.refs:
+                    refs_flat.append(r)
+                    ref_counts.append(len(r))
+                tags.extend(p.ways.tags)
+            offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+            np.cumsum(ref_counts, out=offsets[1:])
+            refs_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64), pa.int64()),
+            )
+            arrays = _passthrough_take(batch, pcols, repeats)
+            arrays += [pa.array(ids, pa.int64()), refs_arr, _dict_map_array(tags)]
+            yield pa.RecordBatch.from_arrays(arrays, names=pcols + ["id", "refs", "tags"])
+
+    return in_df.mapInArrow(fn, out_schema)
+
+
+def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+    pcols = list(passthrough)
+    in_df = df.select(*pcols, payload_col)
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", id bigint, members array<struct<member_type:int, ref:bigint, role:string>>,"
+        + " tags map<string,string>"
+    )
+    member_t = pa.struct([("member_type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())])
+
+    def fn(batches):
+        for batch in batches:
+            payloads = batch.column(payload_col)
+            per_row = [
+                parse_payload(payloads[i].as_py(), want=("relations",))
+                for i in range(batch.num_rows)
+            ]
+            repeats = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            if repeats.sum() == 0:
+                continue
+            ids: list = []
+            members: list = []
+            tags: list = []
+            for p in per_row:
+                ids.extend(p.relations.ids)
+                members.extend(p.relations.members)
+                tags.extend(p.relations.tags)
+            mcounts = np.zeros(len(members) + 1, dtype=np.int32)
+            np.cumsum([len(m) for m in members], out=mcounts[1:])
+            flat = [m for ms in members for m in ms]
+            struct_arr = pa.array(
+                [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in flat],
+                type=member_t,
+            )
+            members_arr = pa.ListArray.from_arrays(pa.array(mcounts, pa.int32()), struct_arr)
+            arrays = _passthrough_take(batch, pcols, repeats)
+            arrays += [pa.array(ids, pa.int64()), members_arr, _dict_map_array(tags)]
+            yield pa.RecordBatch.from_arrays(arrays, names=pcols + ["id", "members", "tags"])
+
+    return in_df.mapInArrow(fn, out_schema)

@@ -1,0 +1,85 @@
+"""End-to-end Spark decode: pages(html binary) -> nodes/ways/relations DFs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_pbf_convert_spark.sources.pbf import decode_nodes, decode_relations, decode_ways
+from osm_pbf_convert_spark.sources.pbf_encoder import (
+    DenseNodesSpec,
+    RelationSpec,
+    WaySpec,
+    build_payload,
+    coords_to_raw,
+    encode_primitive_block,
+    frame_blob,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    rows = []
+    for i in range(20):
+        g = 100 if i % 2 == 0 else 1000
+        lats = [40.0 + i * 0.01, 40.5 + i * 0.01]
+        lons = [-3.0 - i * 0.01, -3.5 - i * 0.01]
+        dense = DenseNodesSpec(
+            ids=[i * 100 + 1, i * 100 + 2],
+            lats_raw=coords_to_raw(lats, g, 0),
+            lons_raw=coords_to_raw(lons, g, 0),
+            tags=[{"amenity": "cafe"}, {}],
+        )
+        ways = [WaySpec(id=i * 10 + 1, refs=[i * 100 + 1, i * 100 + 2], tags={"highway": "path"})]
+        rels = [RelationSpec(id=i + 1, members=[(0, i * 100 + 1, "stop"), (1, i * 10 + 1, "way")])]
+        payload = build_payload(
+            [
+                frame_blob(encode_primitive_block(dense=dense, granularity=g), compress=i % 3 == 0),
+                frame_blob(encode_primitive_block(ways=ways, relations=rels)),
+            ]
+        )
+        rows.append((f"https://example.org/p/{i:08d}", payload))
+    # plus an empty-payload page and a header-only page
+    rows.append(("https://example.org/empty", b""))
+    rows.append(("https://example.org/hdr", frame_blob(b"", blob_type="OSMHeader")))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["url", "html"]))
+
+
+@pytest.mark.spark
+class TestDecodeNodes:
+    def test_counts_and_values(self, pages_df):
+        nodes = decode_nodes(pages_df).toPandas().sort_values("id").reset_index(drop=True)
+        assert len(nodes) == 40  # 2 per non-empty page
+        assert nodes["id"].tolist() == sorted(i * 100 + j for i in range(20) for j in (1, 2))
+        first = nodes.iloc[0]
+        assert first["lat"] == 40.0 and first["lon"] == -3.0
+        # quantization matches C# truncation
+        assert first["ilat"] == int(40.0 / 180 * 2147483647)
+        tags = dict(first["tags"])
+        assert tags == {"amenity": "cafe"}
+
+    def test_empty_pages_produce_no_rows(self, pages_df):
+        nodes = decode_nodes(pages_df)
+        urls = {r["url"] for r in nodes.select("url").distinct().collect()}
+        assert "https://example.org/empty" not in urls
+        assert "https://example.org/hdr" not in urls
+
+    def test_plan_prunes_columns(self, spark, pages_df):
+        # decode_nodes must read only passthrough+payload, not other page cols
+        wide = pages_df.withColumn("extra", pages_df["url"])
+        plan = decode_nodes(wide)._jdf.queryExecution().executedPlan().toString()
+        assert "extra" not in plan
+
+
+@pytest.mark.spark
+class TestDecodeWaysRels:
+    def test_ways(self, pages_df):
+        ways = decode_ways(pages_df).toPandas().sort_values("id").reset_index(drop=True)
+        assert len(ways) == 20
+        assert ways.iloc[0]["refs"].tolist() == [1, 2]
+        assert dict(ways.iloc[0]["tags"]) == {"highway": "path"}
+
+    def test_relations(self, pages_df):
+        rels = decode_relations(pages_df).toPandas().sort_values("id").reset_index(drop=True)
+        assert len(rels) == 20
+        m = rels.iloc[0]["members"]
+        assert [(x["member_type"], x["ref"], x["role"]) for x in m] == [(0, 1, "stop"), (1, 1, "way")]
