@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale text corpora.
+
+All shapes are shuffle-conscious:
+
+- exact: hash-groupBy on a content digest -- one shuffle, map-side partial
+  agg; survivor = min(doc_id) for determinism.
+- MinHash + LSH: shingle -> per-shingle xxhash64 with H seeds -> per-doc
+  min per seed (ONE shuffle: groupBy doc over the exploded shingles with H
+  min() aggregates) -> band keys -> bucket self-join emits candidate pairs
+  -> optional exact Jaccard verify. Band/bucket join is equi-join on the
+  band hash: broadcast-free, AQE handles hot buckets.
+- SimHash: 64-bit signature from token hashes; bit-majority computed with
+  64 JVM-side conditional sums -- no Python in the hot path.
+- n-gram Jaccard: candidate pairs from shared shingles (inverted index),
+  Jaccard = |common| / (|a|+|b|-|common|).
+- embedding cosine near-dup: random-hyperplane LSH buckets, exact cosine
+  inside buckets.
+
+No reference counterpart (the reference is a spatial engine); these are the
+training-data-pipeline extensions the engine needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content digest."""
+    digest = F.md5(F.col(content_col).cast("binary")).alias("_digest")
+    w = df.select(F.col(id_col), digest)
+    keep = w.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def shingles_col(text, k: int = 5):
+    """Character k-gram shingle array (distinct) of the lower-cased text.
+    JVM-only: substring via transform over an index sequence."""
+    t = F.lower(text)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n)
+    return F.when(
+        n > 0, F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 64, shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig array<bigint>[num_hashes]) -- min over shingle hashes per
+    seed. One explode + one groupBy with num_hashes min() aggregates."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
+
+    rows_per_band = num_hashes // bands; two docs collide in a band iff all
+    its rows agree -> P(collide) = s^rows per band (s = true Jaccard)."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws("|", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 5, threshold: float = 0.8, min_common: int = 1,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share >= min_common
+    shingles. Inverted-index join; scale guard: very frequent shingles can
+    be capped upstream (stopword shingles explode candidate counts)."""
+    sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "sh")
+    b = sh.select(F.col(id_col).alias("b"), "sh")
+    common = (
+        a.join(b, "sh").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def simhash_col(text, bits: int = 64, token_pattern: str = r"\s+"):
+    """64-bit SimHash as a LongType column, fully JVM-side:
+    tokens -> xxhash64 -> per-bit majority via conditional sums."""
+    tokens = F.filter(F.split(F.lower(text), token_pattern), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    acc = None
+    for i in range(bits):
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda a, h: a + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit = F.when(bit_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        acc = bit if acc is None else acc.bitwiseOR(bit)
+    return acc
+
+
+def simhash_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of docs with IDENTICAL simhash (near-dup at hamming 0); for
+    hamming <= d banding, split the 64 bits into d+1 chunks upstream."""
+    s = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    return (
+        s.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH.
+
+    Hyperplane normals are derived deterministically from xxhash64(seed,
+    plane, dim) -- no driver-side RNG state to ship. Docs sharing the full
+    sign-pattern bucket get exact cosine; pairs >= threshold survive.
+    Recall note: single-table LSH; OR-construction = union over several
+    seeds.
+    """
+    dim = F.size(F.col(vec_col))
+    # pseudo-random +-1 hyperplanes: sign(xxhash64(plane, dim_index, seed))
+    def plane_bit(p):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, i: v * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 1, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+
+    bucket = None
+    for p in range(planes):
+        b = plane_bit(p)
+        bucket = b if bucket is None else bucket.bitwiseOR(b)
+    withb = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b_ = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(b_, "bucket").filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        pairs.withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,111 @@
+"""Text analysis operators for the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` (JVM, codegen) -- no
+Python in the hot path. These are training-data-pipeline extensions (no
+reference counterpart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/punct splitter: word runs, digit runs, single
+# non-space symbols -- a cheap proxy for subword token counts.
+TOKEN_REGEX = r"[A-Za-zÀ-ɏЀ-ӿ]+|[0-9]+|[^\sA-Za-zÀ-ɏЀ-ӿ0-9]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des", "nicht", "ein", "eine", "auf", "im"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "dans", "que", "qui", "pour", "pas", "au"],
+    "uk": ["та", "і", "в", "на", "не", "що", "з", "до", "як", "це", "за", "від", "був", "для", "або"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of TOKEN_REGEX matches (regexp_count is JVM-side)."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length / token / punctuation / stopword-ratio features and a
+    composite quality score in [0,1] (heuristic, documented, deterministic).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ws_tokens = whitespace_token_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[\.,;:!\?\"'\(\)\[\]]"))
+    n_digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    words = F.filter(F.split(F.lower(t), r"\W+"), lambda w: w != "")
+    stop_hits = F.size(F.array_intersect(words, en_stop))
+    out = (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens_ws", ws_tokens)
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(t))
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("digit_ratio", F.when(n_chars > 0, n_digits / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            "mean_word_len",
+            F.when(ws_tokens > 0, (n_chars - ws_tokens + 1) / ws_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(F.size(words) > 0, stop_hits / F.size(words)).otherwise(F.lit(0.0)),
+        )
+    )
+    score = (
+        F.least(F.col("n_tokens_ws") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(F.col("digit_ratio") * 5, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 10, F.lit(1.0)) * 0.2
+    )
+    return out.withColumn(
+        "quality_score",
+        F.when(F.col("n_tokens_ws") == 0, F.lit(0.0)).otherwise(score),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: distinct-stopword hits per language + script
+    detection (CJK -> ja, cyrillic dominates -> uk). Deterministic ties ->
+    lexicographically first language code.
+    """
+    t = F.col(text_col)
+    words = F.array_distinct(F.filter(F.split(F.lower(t), r"\W+"), lambda w: w != ""))
+    scores = []
+    for code, sw in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(w) for w in sw])
+        scores.append(F.struct(F.size(F.array_intersect(words, arr)).alias("hits"), F.lit(code).alias("code")))
+    best = F.sort_array(F.array(*scores), asc=False)[0]
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    cjk = F.regexp_count(t, F.lit(r"[぀-ヿ一-鿿]"))
+    cyr = F.regexp_count(t, F.lit(r"[Ѐ-ӿ]"))
+    pred = (
+        F.when(cjk / n_chars > 0.1, F.lit("ja"))
+        .when((cyr / n_chars > 0.3) & (best["hits"] == 0), F.lit("uk"))
+        .when(best["hits"] > 0, best["code"])
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                shingle_k: int = 8, bottom_k: int = 8) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest xxhash64 values over
+    character shingles, hashed into one 64-bit id. Rolling-hash analog
+    computed as substrings + xxhash64 (JVM); equal fingerprints => highly
+    likely near-identical prefixes of content."""
+    from osm_pbf_convert_spark.operators.dedup import shingles_col
+
+    hashes = F.transform(shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
+    bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
+    return df.withColumn(
+        "fingerprint",
+        F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))),
+    )

@@ -1,0 +1,219 @@
+"""Tests for training-data pipeline operators: dedup, text, similarity,
+multimodal plumbing, checkpoint/resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_convert_spark.operators import dedup, multimodal, similarity, text
+from osm_pbf_convert_spark.plans.checkpoint import CheckpointTable, pending_only, run_with_checkpoint
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog!", "en"),  # near dup
+        (4, "der schnelle braune fuchs springt über den faulen hund und das ist gut", "de"),
+        (5, "le renard brun rapide saute par dessus le chien paresseux dans la forêt", "fr"),
+        (6, "це зовсім інший текст про щось не схоже на інші документи", "uk"),
+        (7, "completely unrelated content about databases and distributed systems for all", "en"),
+        (8, "", "en"),  # empty edge case
+    ]
+    return spark.createDataFrame(rows, schema="doc_id bigint, text string, lang string"), rows
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_exact(self, docs_df):
+        df, rows = docs_df
+        out = dedup.exact_dedup(df).toPandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6, 7, 8]  # 2 removed (dup of 1)
+
+    def test_minhash_lsh_finds_near_dup(self, docs_df):
+        df, _ = docs_df
+        pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=4).toPandas()
+        got = {tuple(r) for r in pairs[["a", "b"]].itertuples(index=False)}
+        assert (1, 2) in got  # identical docs always collide
+        assert (1, 3) in got or (2, 3) in got  # near dup collides w.h.p.
+        assert (4, 7) not in got and (5, 7) not in got  # unrelated don't
+
+    def test_ngram_jaccard(self, docs_df):
+        df, _ = docs_df
+        out = dedup.ngram_jaccard_pairs(df, shingle_k=4, threshold=0.5).toPandas()
+        got = {(r["a"], r["b"]): r["jaccard"] for _, r in out.iterrows()}
+        assert got[(1, 2)] == 1.0
+        assert 0.5 <= got[(1, 3)] < 1.0
+        assert (4, 5) not in got
+
+    def test_simhash_groups(self, docs_df):
+        df, _ = docs_df
+        groups = dedup.simhash_dedup_groups(df).toPandas()
+        assert any(set(g) >= {1, 2} for g in groups["ids"])
+
+    def test_embedding_neardup(self, spark):
+        base = np.eye(4, dtype=np.float32)
+        rows = [
+            (1, base[0].tolist()),
+            (2, (base[0] + 0.01 * base[1]).tolist()),  # ~same direction
+            (3, base[2].tolist()),
+        ]
+        df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<float>")
+        out = dedup.embedding_neardup_pairs(df, threshold=0.99, planes=8).toPandas()
+        got = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
+        assert (1, 2) in got and (1, 3) not in got
+
+
+@pytest.mark.spark
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello world, 42 times!",), ("",)], schema="text string")
+        out = df.select(
+            text.whitespace_token_count(F.col("text")).alias("ws"),
+            text.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+        assert out[0]["ws"] == 4
+        # hello | world | , | 42 | times | !
+        assert out[0]["bpe"] == 6
+        assert out[1]["ws"] == 0 and out[1]["bpe"] == 0
+
+    def test_quality(self, docs_df):
+        df, _ = docs_df
+        out = text.quality_features(df).toPandas().set_index("doc_id")
+        assert out.loc[8, "n_tokens_ws"] == 0 and out.loc[8, "quality_score"] < 0.3
+        assert out.loc[1, "stopword_ratio"] > 0.1
+        assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
+
+    def test_lang_id(self, docs_df):
+        df, rows = docs_df
+        out = text.lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+        assert out[1] == "en" and out[4] == "de" and out[5] == "fr" and out[6] == "uk"
+        assert out[8] == "und"
+
+    def test_fingerprint_matches_dups(self, docs_df):
+        df, _ = docs_df
+        out = text.fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+        assert out[1] == out[2]
+        assert out[1] != out[7]
+
+
+@pytest.mark.spark
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(200, 8)).astype(np.float32)
+        rows = [(int(i), X[i].tolist()) for i in range(200)]
+        return spark.createDataFrame(rows, schema="vec_id bigint, embedding array<float>"), X
+
+    def test_brute_force_exact(self, spark, vectors):
+        vdf, X = vectors
+        q = X[:3]
+        qdf = spark.createDataFrame(
+            [(i, q[i].tolist()) for i in range(3)], schema="query_id bigint, query_vec array<float>"
+        )
+        out = similarity.brute_force_topk(vdf, qdf, k=5).toPandas()
+        Xd = X.astype(np.float64)
+        for qi in range(3):
+            cos = (Xd @ Xd[qi]) / (np.linalg.norm(Xd, axis=1) * np.linalg.norm(Xd[qi]))
+            exp = np.lexsort((np.arange(len(cos)), -cos))[:5].tolist()
+            got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+            assert got == exp
+            assert got[0] == qi  # self is nearest
+
+    def test_ivf_recall(self, spark, vectors):
+        vdf, X = vectors
+        qdf = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(5)], schema="query_id bigint, query_vec array<float>"
+        )
+        exact = similarity.brute_force_topk(vdf, qdf, k=3).toPandas()
+        approx = similarity.ivf_topk(vdf, qdf, k=3, ncells=8, nprobe=4).toPandas()
+        # recall@3 with half the cells probed should be high on random data
+        rec = 0
+        for qi in range(5):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            rec += len(e & a) / 3
+        assert rec / 5 >= 0.6
+        # self always found (its cell is always probed)
+        for qi in range(5):
+            assert qi in set(approx[approx["query_id"] == qi]["vec_id"])
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (1, "image", b"\x89PNGfake1", (64, 48, None, None, "image/png")),
+            (2, "image", b"\x89PNGfake2", (32, 32, None, None, "image/png")),
+            (3, "video", b"RIFFfake", (640, 480, None, 30, "video/avi")),
+            (4, "audio", None, (None, None, 44100, None, "audio/wav")),
+        ]
+        return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    def test_stub_raises(self, media):
+        with pytest.raises(Exception) as ei:
+            multimodal.extract_features(media, decoder="stub").collect()
+        assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+    def test_fake_features_deterministic(self, media):
+        a = multimodal.extract_features(media, dim=16, decoder="fake").toPandas()
+        b = multimodal.extract_features(media, dim=16, decoder="fake").toPandas()
+        a = a.sort_values("media_id").reset_index(drop=True)
+        b = b.sort_values("media_id").reset_index(drop=True)
+        assert all(len(v) == 16 for v in a["feature"])
+        for x, y in zip(a["feature"], b["feature"]):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_frame_sampling(self, media):
+        frames = multimodal.sample_frames(media.filter("kind='video'"), every_n=10, decoder="fake").toPandas()
+        assert frames["frame_index"].tolist() == [0, 10, 20]
+        assert frames["media_id"].nunique() == 1
+
+
+@pytest.mark.spark
+class TestCheckpoint:
+    def test_resume_skips_committed(self, spark, tmp_path):
+        table = CheckpointTable(str(tmp_path / "ckpt"))
+        sink = str(tmp_path / "out")
+        df = spark.range(100).withColumn("partition_id", F.pmod("id", F.lit(4)))
+
+        calls = []
+
+        def process(pend):
+            calls.append(1)
+            return pend.withColumn("doubled", F.col("id") * 2)
+
+        n1 = run_with_checkpoint(spark, df, process, sink, table, "job1")
+        assert n1 == 4
+        out1 = spark.read.parquet(sink)
+        assert out1.count() == 100
+        # second run: nothing pending
+        n2 = run_with_checkpoint(spark, df, process, sink, table, "job1")
+        assert n2 == 0
+        # pending_only filters committed partitions
+        assert pending_only(spark, df, table, "job1").count() == 0
+        # metrics recorded per partition
+        m = table.metrics(spark, "job1").toPandas()
+        assert set(m["partition_id"]) == {0, 1, 2, 3}
+        assert m[m["metric_name"] == "n_rows"]["metric_value"].sum() == 100
+
+    def test_partial_resume(self, spark, tmp_path):
+        table = CheckpointTable(str(tmp_path / "ckpt2"))
+        sink = str(tmp_path / "out2")
+        df = spark.range(40).withColumn("partition_id", F.pmod("id", F.lit(4)))
+        # pre-commit partitions 0 and 1 manually (simulating a prior run)
+        pre = spark.createDataFrame([(0, 10), (1, 10)], "partition_id bigint, n_rows bigint")
+        table.commit(spark, "job2", pre)
+        seen = []
+
+        def process(pend):
+            seen.append(pend)
+            return pend
+        n = run_with_checkpoint(spark, df, process, sink, table, "job2")
+        assert n == 2  # only 2 and 3 processed
+        got_parts = {r["partition_id"] for r in spark.read.parquet(sink).select("partition_id").distinct().collect()}
+        assert got_parts == {2, 3}
