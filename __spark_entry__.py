@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship end-to-end pipeline at sf0.001 -- synthesize
+  the Common-Crawl-style pages table (html = PBF-style framed payloads),
+  decode nodes via the vectorized Arrow UDF, Morton-tile them, and return
+  zoom-8 tile counts.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 + the
+  training-data-pipeline extensions); see osm_pbf_convert_spark/queries.py.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -13,26 +15,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from osm_pbf_convert_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from osm_pbf_convert_spark.queries import q_tile_counts_z8, _pages
+    from osm_pbf_convert_spark.operators.tiling import tile_counts
+    from osm_pbf_convert_spark.sources.pbf import decode_nodes
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    nodes = decode_nodes(pages)
+    return tile_counts(nodes, 8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,827 @@
+"""The engine's query catalog: one entry per operator family from
+SURVEY.md §2 plus the training-data-pipeline extensions.
+
+Each query is ``(spark, sf_dir) -> DataFrame`` over the driver's seeded
+parquet tables (TESTDATA.md); where SQL-expressible, ``ORACLES`` carries
+the equivalent DuckDB SQL over the same tables. Column names and types are
+aligned on both sides (the driver sorts columns by name and value-hashes).
+
+Derived geo inputs: node ids / int32 coords come from sql_fixtures --
+identical modular arithmetic on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osm_pbf_convert_spark import sql_fixtures as SX
+from osm_pbf_convert_spark.functions import cells as C
+from osm_pbf_convert_spark.operators import dedup, similarity, spatial, text, tiling
+from osm_pbf_convert_spark.operators.joins import assemble_relations, join_pages_geo, resolve_ways
+from osm_pbf_convert_spark.operators.tags import way_type_col
+from osm_pbf_convert_spark.sources.pbf import decode_nodes, decode_ways
+from osm_pbf_convert_spark.sources.pages import synth_pages
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _li_pairs(spark, sf_dir) -> DataFrame:
+    """Distinct (orderkey, linenumber) pairs -- the synthetic entity keys.
+    (The seeded lineitem table is NOT unique on this pair.)"""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
+
+
+def _li_nodes(spark, sf_dir) -> DataFrame:
+    """One node per distinct (orderkey, linenumber): id + int32 coords."""
+    nid = SX.node_id_sql("l_orderkey", "l_linenumber")
+    return _li_pairs(spark, sf_dir).select(
+        F.expr(nid).alias("id"),
+        F.expr(SX.ilat_sql(nid)).cast("int").alias("ilat"),
+        F.expr(SX.ilon_sql(nid)).cast("int").alias("ilon"),
+    )
+
+
+def _part_nodes(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(SX.ilat_sql("p_partkey")).cast("int").alias("ilat"),
+        F.expr(SX.ilon_sql("p_partkey")).cast("int").alias("ilon"),
+    )
+
+
+def _li_ways(spark, sf_dir) -> DataFrame:
+    """One way per order: refs = that order's node ids in linenumber order."""
+    nid = SX.node_id_sql("l_orderkey", "l_linenumber")
+    return (
+        _li_pairs(spark, sf_dir)
+        .select(F.col("l_orderkey").alias("id"), F.col("l_linenumber").alias("ln"), F.expr(nid).alias("nid"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ln", "nid"))), lambda s: s["nid"]
+            ).alias("refs")
+        )
+    )
+
+
+_LI_PAIRS_SQL = "(SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)"
+
+_LI_NODE_ORACLE = (
+    "SELECT {nid} AS id, {ilat} AS ilat, {ilon} AS ilon FROM " + _LI_PAIRS_SQL + " li"
+).format(
+    nid=SX.node_id_sql("l_orderkey", "l_linenumber"),
+    ilat=SX.ilat_sql(SX.node_id_sql("l_orderkey", "l_linenumber")),
+    ilon=SX.ilon_sql(SX.node_id_sql("l_orderkey", "l_linenumber")),
+)
+
+
+# ---------------------------------------------------------------------------
+# scan -> hash agg (SURVEY §2 #22) and top-k (#24)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    base_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    disc_c = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5).cast("long")
+    charge_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(base_c).alias("sum_base_cents"),
+            F.sum(disc_c).alias("sum_disc_cents"),
+            F.sum(charge_c).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q_PRICING_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM({SX.cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({SX.cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+       CAST(SUM({SX.cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT) AS sum_charge_cents,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_brand_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+_Q_BRAND_ORACLE = """
+SELECT p_brand, COUNT(*) AS cnt FROM part
+GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# the flagship ways⋈nodes join (#18) + bbox/midpoint aggregate (#17)
+# ---------------------------------------------------------------------------
+
+def q_ways_nodes_join(spark, sf_dir):
+    res = resolve_ways(_li_ways(spark, sf_dir), _li_nodes(spark, sf_dir), keep_tags=False)
+    return res.select(
+        F.col("way_id"), F.posexplode("nodes").alias("pos", "n")
+    ).select(
+        "way_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n.id").alias("id"),
+        F.col("n.ilat").cast("long").alias("ilat"),
+        F.col("n.ilon").cast("long").alias("ilon"),
+    )
+
+
+_Q_WAYS_JOIN_ORACLE = f"""
+SELECT l_orderkey AS way_id,
+       ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos,
+       {SX.node_id_sql('l_orderkey', 'l_linenumber')} AS id,
+       {SX.ilat_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))} AS ilat,
+       {SX.ilon_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))} AS ilon
+FROM {{pairs}} li
+""".format(pairs="(SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)")
+
+
+def q_way_bbox(spark, sf_dir):
+    res = resolve_ways(_li_ways(spark, sf_dir), _li_nodes(spark, sf_dir), keep_tags=False)
+    return res.select(
+        "way_id",
+        F.col("n_resolved"),
+        F.col("mid_ilat").cast("long").alias("mid_ilat"),
+        F.col("mid_ilon").cast("long").alias("mid_ilon"),
+        F.col("min_ilat").cast("long").alias("min_ilat"),
+        F.col("max_ilat").cast("long").alias("max_ilat"),
+        F.col("min_ilon").cast("long").alias("min_ilon"),
+        F.col("max_ilon").cast("long").alias("max_ilon"),
+    )
+
+
+_Q_WAY_BBOX_ORACLE = f"""
+WITH n AS ({_LI_NODE_ORACLE.replace(' AS ilon FROM', ' AS ilon, l_orderkey AS way_id FROM')})
+SELECT way_id, COUNT(*) AS n_resolved,
+       CAST(TRUNC(AVG(ilat)) AS BIGINT) AS mid_ilat,
+       CAST(TRUNC(AVG(ilon)) AS BIGINT) AS mid_ilon,
+       MIN(ilat) AS min_ilat, MAX(ilat) AS max_ilat,
+       MIN(ilon) AS min_ilon, MAX(ilon) AS max_ilon
+FROM n GROUP BY way_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# relations⋈members assembly (#20)
+# ---------------------------------------------------------------------------
+
+def _rels(spark, sf_dir) -> DataFrame:
+    """Synthetic relations: rel = orderkey; one member per distinct
+    linenumber. Even linenumbers are node members (ref into part keys,
+    sometimes deliberately missing), odd are way members (ref into way
+    ids = orderkeys). All derivations are pair arithmetic so the DuckDB
+    oracle reproduces them exactly."""
+    pairs = _li_pairs(spark, sf_dir)
+    nid = SX.node_id_sql("l_orderkey", "l_linenumber")
+    member = F.struct(
+        (F.col("l_linenumber") % 2).cast("int").alias("member_type"),
+        F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.expr(f"({nid}) % 2000") + F.when(F.expr("(l_orderkey + l_linenumber) % 19") == 0, 1000000).otherwise(0),
+        )
+        .otherwise(F.expr(f"(l_orderkey * 7 + l_linenumber) % 15000"))
+        .cast("long")
+        .alias("ref"),
+        F.concat(F.lit("r"), F.col("l_linenumber").cast("string")).alias("role"),
+    )
+    return (
+        pairs.select(F.col("l_orderkey").alias("id"), F.col("l_linenumber").alias("ln"), member.alias("m"))
+        .groupBy("id")
+        .agg(F.transform(F.sort_array(F.collect_list(F.struct("ln", "m"))), lambda s: s["m"]).alias("members"))
+        .withColumn("tags", F.map_from_arrays(F.array(), F.array()).cast("map<string,string>"))
+    )
+
+
+def q_relation_members(spark, sf_dir):
+    rels = _rels(spark, sf_dir)
+    nodes = _part_nodes(spark, sf_dir)
+    ways_res = resolve_ways(_li_ways(spark, sf_dir), _li_nodes(spark, sf_dir), keep_tags=False)
+    out = assemble_relations(rels, nodes, ways_res)
+    return out.select(F.col("rel_id"), F.posexplode("members").alias("pos", "m")).select(
+        "rel_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("m.member_type").cast("long").alias("member_type"),
+        F.col("m.ref").alias("ref"),
+        F.col("m.role").alias("role"),
+        F.col("m.mid_ilat").cast("long").alias("mid_ilat"),
+        F.col("m.mid_ilon").cast("long").alias("mid_ilon"),
+    )
+
+
+_REL_MEMBERS_CTE = f"""
+mem AS (
+  SELECT l_orderkey AS rel_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS pos,
+         CAST(l_linenumber % 2 AS BIGINT) AS member_type,
+         CAST(CASE WHEN l_linenumber % 2 = 0
+              THEN (((l_orderkey) * 8 + (l_linenumber))) % 2000
+                   + CASE WHEN (l_orderkey + l_linenumber) % 19 = 0 THEN 1000000 ELSE 0 END
+              ELSE (l_orderkey * 7 + l_linenumber) % 15000 END AS BIGINT) AS ref,
+         'r' || CAST(l_linenumber AS VARCHAR) AS role
+  FROM {_LI_PAIRS_SQL} li
+)
+"""
+
+_Q_REL_MEMBERS_ORACLE = f"""
+WITH {_REL_MEMBERS_CTE}
+SELECT m.rel_id, m.pos, m.member_type, m.ref, m.role,
+       CASE WHEN m.member_type = 0 AND p.p_partkey IS NOT NULL
+            THEN {SX.ilat_sql('m.ref')} END AS mid_ilat,
+       CASE WHEN m.member_type = 0 AND p.p_partkey IS NOT NULL
+            THEN {SX.ilon_sql('m.ref')} END AS mid_ilon
+FROM mem m LEFT JOIN part p ON m.member_type = 0 AND m.ref = p.p_partkey
+"""
+
+
+def q_relation_bbox(spark, sf_dir):
+    rels = _rels(spark, sf_dir)
+    nodes = _part_nodes(spark, sf_dir)
+    ways_res = resolve_ways(_li_ways(spark, sf_dir), _li_nodes(spark, sf_dir), keep_tags=False)
+    out = assemble_relations(rels, nodes, ways_res)
+    return out.select(
+        "rel_id",
+        F.col("min_ilat").cast("long").alias("min_ilat"),
+        F.col("max_ilat").cast("long").alias("max_ilat"),
+        F.col("min_ilon").cast("long").alias("min_ilon"),
+        F.col("max_ilon").cast("long").alias("max_ilon"),
+    )
+
+
+_Q_REL_BBOX_ORACLE = f"""
+WITH {_REL_MEMBERS_CTE},
+way_bbox AS (
+  SELECT l_orderkey AS way_id,
+         MIN({SX.ilat_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))}) AS w_min_ilat,
+         MAX({SX.ilat_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))}) AS w_max_ilat,
+         MIN({SX.ilon_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))}) AS w_min_ilon,
+         MAX({SX.ilon_sql(SX.node_id_sql('l_orderkey', 'l_linenumber'))}) AS w_max_ilon
+  FROM {_LI_PAIRS_SQL} li GROUP BY l_orderkey
+),
+joined AS (
+  SELECT m.rel_id,
+         CASE WHEN m.member_type = 0 AND p.p_partkey IS NOT NULL THEN {SX.ilat_sql('m.ref')} END AS n_ilat,
+         CASE WHEN m.member_type = 0 AND p.p_partkey IS NOT NULL THEN {SX.ilon_sql('m.ref')} END AS n_ilon,
+         w.w_min_ilat, w.w_max_ilat, w.w_min_ilon, w.w_max_ilon
+  FROM mem m
+  LEFT JOIN part p ON m.member_type = 0 AND m.ref = p.p_partkey
+  LEFT JOIN way_bbox w ON m.member_type = 1 AND m.ref = w.way_id
+)
+SELECT rel_id,
+       LEAST(MIN(n_ilat), MIN(w_min_ilat)) AS min_ilat,
+       GREATEST(MAX(n_ilat), MAX(w_max_ilat)) AS max_ilat,
+       LEAST(MIN(n_ilon), MIN(w_min_ilon)) AS min_ilon,
+       GREATEST(MAX(n_ilon), MAX(w_max_ilon)) AS max_ilon
+FROM joined GROUP BY rel_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Morton cells (#13), tiles (#26), heat map (#26), pyramid
+# ---------------------------------------------------------------------------
+
+def q_morton_cells(spark, sf_dir):
+    n = _part_nodes(spark, sf_dir)
+    return n.select("id", C.morton_cell_col(F.col("ilat"), F.col("ilon")).alias("cell"))
+
+
+_PART_CELL = C.morton_cell_sql(SX.ilat_sql("p_partkey"), SX.ilon_sql("p_partkey"))
+_Q_MORTON_ORACLE = f"SELECT p_partkey AS id, {_PART_CELL} AS cell FROM part"
+
+_LI_NID = SX.node_id_sql("l_orderkey", "l_linenumber")
+_LI_CELL = C.morton_cell_sql(SX.ilat_sql(_LI_NID), SX.ilon_sql(_LI_NID))
+
+
+def q_tile_counts_z8(spark, sf_dir):
+    return tiling.tile_counts(_li_nodes(spark, sf_dir), 8)
+
+
+_Q_TILE_Z8_ORACLE = f"""
+SELECT {C.tile_sql(_LI_CELL, 8)} AS tile, COUNT(*) AS cnt FROM {_LI_PAIRS_SQL} li GROUP BY 1
+"""
+
+
+def q_heat_map(spark, sf_dir):
+    return tiling.heat_map(_li_nodes(spark, sf_dir))
+
+
+_Q_HEAT_ORACLE = f"""
+SELECT {C.heat_row_sql(SX.ilat_sql(_LI_NID))} AS row,
+       {C.heat_col_sql(SX.ilon_sql(_LI_NID))} AS col,
+       COUNT(*) AS cnt
+FROM {_LI_PAIRS_SQL} li GROUP BY 1, 2
+"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    return tiling.tile_pyramid(_li_nodes(spark, sf_dir), max_z=8, min_z=4).select(
+        F.col("z").cast("long").alias("z"), "tile", "cnt"
+    )
+
+
+_Q_PYRAMID_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({z} AS BIGINT) AS z, {C.tile_sql(_LI_CELL, z)} AS tile, COUNT(*) AS cnt FROM {_LI_PAIRS_SQL} li GROUP BY 2"
+    for z in range(4, 9)
+)
+
+
+# ---------------------------------------------------------------------------
+# point-in-rect (#16), zone maps (#27)
+# ---------------------------------------------------------------------------
+
+_RECT = (-1000000000, 1000000000, -500000000, 1500000000)
+
+
+def q_point_in_rect(spark, sf_dir):
+    n = _li_nodes(spark, sf_dir)
+    return n.filter(spatial.in_rect(F.col("ilat"), F.col("ilon"), *_RECT)).select(
+        "id", F.col("ilat").cast("long").alias("ilat"), F.col("ilon").cast("long").alias("ilon")
+    )
+
+
+_Q_RECT_ORACLE = f"""
+WITH n AS ({_LI_NODE_ORACLE})
+SELECT id, ilat, ilon FROM n
+WHERE {_RECT[0]} < ilat AND {_RECT[1]} >= ilat AND {_RECT[2]} < ilon AND {_RECT[3]} >= ilon
+"""
+
+
+def q_zone_maps(spark, sf_dir):
+    n = _li_nodes(spark, sf_dir)
+    return (
+        n.groupBy(F.shiftright(F.col("id"), 13).alias("bucket"))
+        .agg(
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+_Q_ZONE_ORACLE = f"""
+WITH n AS ({_LI_NODE_ORACLE})
+SELECT id >> 13 AS bucket, MIN(id) AS min_id, MAX(id) AS max_id, COUNT(*) AS cnt
+FROM n GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# way classification (#15)
+# ---------------------------------------------------------------------------
+
+def q_way_classification(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    idx = F.pmod(F.col("o_orderkey"), F.lit(27))
+    hv_arr = F.array(*[F.lit(v) for v in SX.HIGHWAY_VALUES], F.lit("weird_value"))
+    tags = (
+        F.when(idx <= 25, F.map_from_arrays(F.array(F.lit("highway")), F.array(F.element_at(hv_arr, (idx + 1).cast("int")))))
+        .when(idx == 26, F.map_from_arrays(F.array(F.lit("building")), F.array(F.lit("yes"))))
+        .otherwise(F.map_from_arrays(F.array(), F.array()).cast("map<string,string>"))
+    )
+    # idx 26 -> building; idx > 26 unreachable (kept for clarity)
+    return o.select(
+        F.col("o_orderkey").alias("way_id"),
+        way_type_col(tags).cast("long").alias("way_type"),
+    )
+
+
+_WT_CASE = " ".join(
+    f"WHEN {i} THEN {code}" for i, code in enumerate(SX.HIGHWAY_CODES)
+)
+_Q_WAYTYPE_ORACLE = f"""
+SELECT o_orderkey AS way_id,
+       CASE (o_orderkey % 27) {_WT_CASE} WHEN 25 THEN 2 WHEN 26 THEN 100 ELSE 1 END :: BIGINT AS way_type
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# tag key stats (#22), top-k (#24), inverted index (#25)
+# ---------------------------------------------------------------------------
+
+def _part_words(spark, sf_dir):
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("key")
+    )
+
+
+def q_tag_key_stats(spark, sf_dir):
+    return _part_words(spark, sf_dir).groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_Q_TAGSTATS_ORACLE = """
+SELECT key, COUNT(*) AS cnt
+FROM (SELECT UNNEST(string_split(p_name, ' ')) AS key FROM part) GROUP BY key
+"""
+
+
+def q_tag_topk(spark, sf_dir):
+    return (
+        q_tag_key_stats(spark, sf_dir)
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(5)
+    )
+
+
+_Q_TAGTOPK_ORACLE = _Q_TAGSTATS_ORACLE.strip() + " ORDER BY cnt DESC, key ASC LIMIT 5"
+
+
+def q_inverted_index(spark, sf_dir):
+    w = _part_words(spark, sf_dir)
+    packed = F.shiftleft(F.col("p_partkey").cast("long"), 2).bitwiseOR(F.lit(1))
+    return w.groupBy("key").agg(
+        F.countDistinct(packed).alias("n_refs"),
+        F.min(packed).alias("min_ref"),
+        F.max(packed).alias("max_ref"),
+    )
+
+
+_Q_INVIDX_ORACLE = """
+SELECT key, COUNT(DISTINCT packed) AS n_refs, MIN(packed) AS min_ref, MAX(packed) AS max_ref
+FROM (SELECT (CAST(p_partkey AS BIGINT) << 2) | 1 AS packed, UNNEST(string_split(p_name, ' ')) AS key FROM part)
+GROUP BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / set ops / text
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+_Q_DEDUP_ORACLE = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def q_events_dedup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_Q_EVENTS_ORACLE = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+_Q_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN TRIM(text) = '' THEN 0
+            ELSE array_length(regexp_split_to_array(TRIM(text), '\s+')) END AS n_ws,
+       LENGTH(text) AS n_chars_computed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN (#north-rule) -- exact within covered neighborhood, oracle brute force
+# ---------------------------------------------------------------------------
+
+def q_knn(spark, sf_dir):
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(SX.knn_ilat_sql("p_partkey")).cast("int").alias("ilat"),
+        F.expr(SX.knn_ilon_sql("p_partkey")).cast("int").alias("ilon"),
+    )
+    qs = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 5)
+        .select(
+            F.col("s_suppkey").alias("query_id"),
+            F.expr(SX.knn_q_ilat_sql("s_suppkey")).cast("int").alias("ilat"),
+            F.expr(SX.knn_q_ilon_sql("s_suppkey")).cast("int").alias("ilon"),
+        )
+    )
+    out = spatial.knn_join(pts, qs, k=10, z=2, ring=1)
+    return out.select(
+        "query_id", "id", F.col("dist2").cast("long").alias("dist2"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+_Q_KNN_ORACLE = f"""
+WITH pts AS (
+  SELECT p_partkey AS id, {SX.knn_ilat_sql('p_partkey')} AS ilat, {SX.knn_ilon_sql('p_partkey')} AS ilon FROM part
+),
+qs AS (
+  SELECT s_suppkey AS query_id, {SX.knn_q_ilat_sql('s_suppkey')} AS ilat, {SX.knn_q_ilon_sql('s_suppkey')} AS ilon
+  FROM supplier WHERE s_suppkey < 5
+),
+scored AS (
+  SELECT q.query_id, p.id,
+         CAST((p.ilat - q.ilat) * (p.ilat - q.ilat) + (p.ilon - q.ilon) * (p.ilon - q.ilon) AS BIGINT) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (p.ilat - q.ilat) * (p.ilat - q.ilat) + (p.ilon - q.ilon) * (p.ilon - q.ilon), p.id) AS rank
+  FROM qs q CROSS JOIN pts p
+)
+SELECT query_id, id, dist2, rank FROM scored WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(emb, qs, k=5)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+_Q_EMB_ORACLE = """
+WITH qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM qs q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# end-to-end decode (#1-#10) + pages⋈geo -- oracle re-derives page content
+# ---------------------------------------------------------------------------
+
+_PAGES_CACHE: dict = {}
+
+
+def _pages(spark, sf_dir) -> DataFrame:
+    key = sf_dir.rstrip("/")
+    if key not in _PAGES_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pages_{abs(hash(key)) % 10**8}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            synth_pages(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _PAGES_CACHE[key] = path
+    return spark.read.parquet(_PAGES_CACHE[key])
+
+
+_PAGE_SQL = "CAST(FLOOR(l_orderkey / 20) AS BIGINT)"  # must match synth_pages orders_per_page=20
+_URL_SQL = f"printf('https://example.org/p/%010d', {_PAGE_SQL})"
+
+
+def q_decode_nodes(spark, sf_dir):
+    """Full decode path: synthesized pages -> mapInArrow decode -> per-url
+    node count + coordinate checksum. The oracle re-derives the same values
+    from lineitem arithmetic -- exact decode parity incl. requantization."""
+    nodes = decode_nodes(_pages(spark, sf_dir))
+    return nodes.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("ilat").cast("long")).alias("sum_ilat"),
+        F.sum(F.col("ilon").cast("long")).alias("sum_ilon"),
+        F.sum("id").alias("sum_id"),
+    )
+
+
+_Q_DECODE_ORACLE = f"""
+SELECT {_URL_SQL} AS url, COUNT(*) AS n_nodes,
+       CAST(SUM({SX.ilat_sql(_LI_NID)}) AS BIGINT) AS sum_ilat,
+       CAST(SUM({SX.ilon_sql(_LI_NID)}) AS BIGINT) AS sum_ilon,
+       CAST(SUM({_LI_NID}) AS BIGINT) AS sum_id
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_decode_ways(spark, sf_dir):
+    ways = decode_ways(_pages(spark, sf_dir))
+    return ways.select(
+        "id",
+        F.size("refs").cast("long").alias("n_refs"),
+        F.aggregate("refs", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_refs"),
+        F.element_at(F.map_keys("tags"), 1).alias("tag_key"),
+    )
+
+
+_Q_DECODE_WAYS_ORACLE = f"""
+SELECT l_orderkey AS id, COUNT(*) AS n_refs, CAST(SUM({_LI_NID}) AS BIGINT) AS sum_refs,
+       CASE WHEN l_orderkey % 2 = 0 THEN 'highway' ELSE 'building' END AS tag_key
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_pages_geo(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    nodes = decode_nodes(pages)
+    out = join_pages_geo(pages, nodes)
+    return out.select(
+        "url",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),  # byte-identity check
+        "lang",
+        "n_geo",
+        F.col("min_ilat").cast("long").alias("min_ilat"),
+        F.col("max_ilat").cast("long").alias("max_ilat"),
+        F.col("min_ilon").cast("long").alias("min_ilon"),
+        F.col("max_ilon").cast("long").alias("max_ilon"),
+    )
+
+
+_LANGS = "['en','de','fr','uk','ja']"
+_Q_PAGES_GEO_ORACLE = f"""
+SELECT {_URL_SQL} AS url,
+       md5('document body ' || CAST({_PAGE_SQL} AS VARCHAR) || ' ✓ ' || repeat('x', CAST({_PAGE_SQL} % 64 AS INT))) AS text_md5,
+       ({_LANGS})[CAST({_PAGE_SQL} % 5 AS INT) + 1] AS lang,
+       COUNT(*) AS n_geo,
+       MIN({SX.ilat_sql(_LI_NID)}) AS min_ilat,
+       MAX({SX.ilat_sql(_LI_NID)}) AS max_ilat,
+       MIN({SX.ilon_sql(_LI_NID)}) AS min_ilon,
+       MAX({SX.ilon_sql(_LI_NID)}) AS max_ilon
+FROM lineitem GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible or heuristic)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5
+    )
+
+
+def q_simhash_groups(spark, sf_dir):
+    return dedup.simhash_dedup_groups(_t(spark, sf_dir, "documents")).select("simhash", "n")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6, min_common=5
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_quality(spark, sf_dir):
+    return text.quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    p1 = dedup.embedding_neardup_pairs(emb, threshold=0.3, planes=4, seed=42)
+    p2 = dedup.embedding_neardup_pairs(emb, threshold=0.3, planes=4, seed=43)
+    return (
+        p1.unionByName(p2).dropDuplicates(["a", "b"])
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, qs, k=5, ncells=8, nprobe=3).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_POLYGONS = [
+    (1, [(10.0, 10.0), (10.0, 60.0), (60.0, 60.0), (60.0, 10.0)]),
+    (2, [(-40.0, -120.0), (-40.0, -60.0), (0.0, -60.0), (0.0, -120.0)]),
+    (3, [(-80.0, 100.0), (-40.0, 140.0), (-80.0, 170.0)]),
+]
+
+
+def q_point_in_polygon(spark, sf_dir):
+    idx = spatial.compile_polygons(_POLYGONS, z=6)
+    pts = _li_nodes(spark, sf_dir)
+    return spatial.assign_polygons(spark, pts, idx).select("id", "polygon_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from osm_pbf_convert_spark.operators.multimodal import extract_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.expr(
+            "named_struct('width', 64, 'height', 64, 'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(NULL AS INT), 'mime', 'image/png')"
+        ).alias("meta"),
+    )
+    out = extract_features(media, dim=8, decoder="fake")
+    return out.select("media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "brand_topk": q_brand_topk,
+    "ways_nodes_join": q_ways_nodes_join,
+    "way_bbox": q_way_bbox,
+    "relation_members": q_relation_members,
+    "relation_bbox": q_relation_bbox,
+    "morton_cells": q_morton_cells,
+    "tile_counts_z8": q_tile_counts_z8,
+    "heat_map": q_heat_map,
+    "tile_pyramid": q_tile_pyramid,
+    "point_in_rect": q_point_in_rect,
+    "zone_maps": q_zone_maps,
+    "way_classification": q_way_classification,
+    "tag_key_stats": q_tag_key_stats,
+    "tag_topk": q_tag_topk,
+    "inverted_index": q_inverted_index,
+    "exact_dedup": q_exact_dedup,
+    "events_dedup": q_events_dedup,
+    "token_counts": q_token_counts,
+    "knn": q_knn,
+    "embedding_topk": q_embedding_topk,
+    "decode_nodes": q_decode_nodes,
+    "decode_ways": q_decode_ways,
+    "pages_geo": q_pages_geo,
+    # rows-only (non-SQL-expressible / heuristic / approximate)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_groups": q_simhash_groups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
+    "point_in_polygon": q_point_in_polygon,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "pricing_summary": _Q_PRICING_ORACLE,
+    "brand_topk": _Q_BRAND_ORACLE,
+    "ways_nodes_join": _Q_WAYS_JOIN_ORACLE,
+    "way_bbox": _Q_WAY_BBOX_ORACLE,
+    "relation_members": _Q_REL_MEMBERS_ORACLE,
+    "relation_bbox": _Q_REL_BBOX_ORACLE,
+    "morton_cells": _Q_MORTON_ORACLE,
+    "tile_counts_z8": _Q_TILE_Z8_ORACLE,
+    "heat_map": _Q_HEAT_ORACLE,
+    "tile_pyramid": _Q_PYRAMID_ORACLE,
+    "point_in_rect": _Q_RECT_ORACLE,
+    "zone_maps": _Q_ZONE_ORACLE,
+    "way_classification": _Q_WAYTYPE_ORACLE,
+    "tag_key_stats": _Q_TAGSTATS_ORACLE,
+    "tag_topk": _Q_TAGTOPK_ORACLE,
+    "inverted_index": _Q_INVIDX_ORACLE,
+    "exact_dedup": _Q_DEDUP_ORACLE,
+    "events_dedup": _Q_EVENTS_ORACLE,
+    "token_counts": _Q_TOKENS_ORACLE,
+    "knn": _Q_KNN_ORACLE,
+    "embedding_topk": _Q_EMB_ORACLE,
+    "decode_nodes": _Q_DECODE_ORACLE,
+    "decode_ways": _Q_DECODE_WAYS_ORACLE,
+    "pages_geo": _Q_PAGES_GEO_ORACLE,
+}
