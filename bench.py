@@ -1,0 +1,144 @@
+"""Benchmark: end-to-end decode + spatial-join + tiling throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <e2e sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...,
+   "nodes_per_sec": ..., "tiles_per_sec": ..., "cores": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Args: --cores N overrides CPUS (used by tools/scaling.py for the N vs 4N
+scaling-efficiency evidence), --skip-queries for the e2e number only.
+
+The e2e pipeline is the engine's flagship path (SURVEY.md §3 entry point 1
+restated): pages (html binary) -> mapInArrow decode (nodes+ways) ->
+ways⋈nodes sort-merge join -> Morton tile pyramid (z12..z4) + heat map +
+pages⋈geo join, all forced via the noop sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--replicate", type=int, default=1,
+                    help="union K disjoint input copies (compute-bound scaling runs)")
+    args = ap.parse_args()
+
+    from osm_pbf_convert_spark.session import get_spark
+    from osm_pbf_convert_spark.sources.pages import synth_pages
+    from osm_pbf_convert_spark.sources.pbf import decode_entities
+    from osm_pbf_convert_spark.operators.joins import join_pages_geo, resolve_ways
+    from osm_pbf_convert_spark.operators.tiling import heat_map, tile_pyramid
+    from osm_pbf_convert_spark import queries as Q
+
+    spark = get_spark(
+        "bench",
+        cores=args.cores,
+        shuffle_partitions=max(args.cores, 8),
+        # test files are tiny; split them so input parallelism matches the
+        # core count (at 100 TB the natural file count does this)
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(1 << 20),
+                    "spark.sql.files.openCostInBytes": str(1 << 20)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = args.sf_dir
+    sf_tag = sf.rstrip("/").rsplit("sf", 1)[-1]
+
+    # ---- setup (not timed): synthesize + materialize the pages table ----
+    # fixed 128-file layout so every parallelism level reads identical input
+    pages_path = f"/tmp/spark_graft_bench_pages_sf{sf_tag}_x{args.replicate}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synth_pages(spark, sf, replicate=args.replicate).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    # ---- timed: flagship end-to-end pipeline ----
+    timings = {}
+    t_e2e = time.time()
+
+    # decode ONCE (single mapInArrow pass for all entity kinds) and persist
+    # -- every downstream consumer (join, pyramid, heat map, pages⋈geo)
+    # reads the materialized decode, exactly like the production layout
+    # where decoded entities land in a table first
+    t0 = time.time()
+    from pyspark.sql import functions as F
+    entities = decode_entities(pages).persist()
+    n_nodes = entities.filter(F.col("kind") == 0).count()
+    nodes = entities.filter(F.col("kind") == 0).select("url", "id", "lat", "lon", "ilat", "ilon", "tags")
+    ways = entities.filter(F.col("kind") == 1).select("url", "id", "refs", "tags")
+    timings["e2e_decode"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    resolved = resolve_ways(
+        ways.drop("url"), nodes.drop("url"), keep_tags=False
+    )
+    force(resolved)
+    timings["e2e_join_ways_nodes"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pyr = tile_pyramid(nodes, max_z=12, min_z=4)
+    force(pyr)
+    timings["e2e_tile_pyramid"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    force(heat_map(nodes))
+    timings["e2e_heat_map"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    force(join_pages_geo(pages, nodes))
+    timings["e2e_pages_geo"] = round(time.time() - t0, 3)
+
+    e2e = time.time() - t_e2e
+
+    n_tiles = pyr.count()
+
+    # ---- timed: representative per-operator queries at this sf ----
+    if not args.skip_queries:
+        subset = [
+            "pricing_summary", "ways_nodes_join", "way_bbox", "relation_members",
+            "tile_counts_z8", "heat_map", "tile_pyramid", "knn", "embedding_topk",
+            "minhash_pairs", "exact_dedup", "token_counts", "point_in_polygon",
+        ]
+        for name in subset:
+            t0 = time.time()
+            force(Q.QUERIES[name](spark, sf))
+            timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "e2e decode+spatial-join+tiling wall sec (docs->nodes->join->tiles)",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag,
+        "cores": args.cores,
+        "n_docs": n_docs,
+        "n_nodes": n_nodes,
+        "n_tiles": n_tiles,
+        "docs_per_sec": round(n_docs / e2e, 1),
+        "nodes_per_sec": round(n_nodes / e2e, 1),
+        "tiles_per_sec": round(n_tiles / e2e, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -251,21 +251,54 @@ def assign_polygons(
 # ---------------------------------------------------------------------------
 
 
+_EVEN64 = 0x5555555555555555
+
+
 def _neighbor_tiles_col(ilat: Column, ilon: Column, z: int, ring: int) -> Column:
     """Array of biased tile ids within `ring` rings of the point's tile.
-    Pure Column expressions -- the (2r+1)^2 neighborhood is unrolled at plan
-    time; out-of-range neighbors are dropped via array_compact."""
+
+    Built with Morton increment/decrement arithmetic on the center tile
+    (x' = ((x_bits | odd_mask) + 1) & even_mask etc.) instead of a fresh
+    bit-spread chain per neighbor -- (2r+1)^2 neighbors cost 2 spreads +
+    2(2r+1) inc/dec chains + (2r+1)^2 ORs, keeping codegen small.
+    Out-of-range neighbors are dropped via array_compact.
+    """
+    em = F.lit(_EVEN64)
+    om = F.lit(~_EVEN64)  # odd mask (negative int64 literal)
     by = F.shiftright((ilat.cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
     bx = F.shiftright((ilon.cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
+    tile = _spread_col(bx).bitwiseOR(F.shiftleft(_spread_col(by), 1))
+    x0 = tile.bitwiseAND(em)
+    y0 = tile.bitwiseAND(om)
+
+    def inc_x(x):
+        return (x.bitwiseOR(om) + 1).bitwiseAND(em)
+
+    def dec_x(x):
+        return (x - 1).bitwiseAND(em)
+
+    def inc_y(y):
+        return (y.bitwiseOR(em) + 2).bitwiseAND(om)
+
+    def dec_y(y):
+        return (y - 2).bitwiseAND(om)
+
+    xparts = {0: x0}
+    yparts = {0: y0}
+    for r in range(1, ring + 1):
+        xparts[r] = inc_x(xparts[r - 1])
+        xparts[-r] = dec_x(xparts[-(r - 1)])
+        yparts[r] = inc_y(yparts[r - 1])
+        yparts[-r] = dec_y(yparts[-(r - 1)])
+
     lim = F.lit((1 << z) - 1)
     tiles = []
     for dy in range(-ring, ring + 1):
         for dx in range(-ring, ring + 1):
             nx = bx + F.lit(dx)
             ny = by + F.lit(dy)
-            t = _spread_col(nx).bitwiseOR(F.shiftleft(_spread_col(ny), 1))
             valid = (nx >= 0) & (nx <= lim) & (ny >= 0) & (ny <= lim)
-            tiles.append(F.when(valid, t))
+            tiles.append(F.when(valid, xparts[dx].bitwiseOR(yparts[dy])))
     return F.array_compact(F.array(*tiles))
 
 

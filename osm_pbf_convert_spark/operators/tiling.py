@@ -46,26 +46,33 @@ def tile_counts(nodes: DataFrame, z: int) -> DataFrame:
     )
 
 
-def tile_pyramid(nodes: DataFrame, max_z: int = 15, min_z: int = 0) -> DataFrame:
+def tile_pyramid(
+    nodes: DataFrame, max_z: int = 15, min_z: int = 0, materialize: bool = True
+) -> DataFrame:
     """(z, tile, cnt) for all zooms in [min_z, max_z].
 
-    Single input scan: the base aggregate runs at max_z; every coarser level
-    derives from the level below (parent tile = child tile >> 2), so rollup
-    cost is bounded by the number of distinct base tiles, not input rows.
+    Single input scan: the base aggregate runs at max_z and is persisted;
+    every coarser level rolls up directly from the cached base
+    (parent tile = base tile >> 2*(max_z-z)), so all levels run as parallel
+    branches of one job over tile aggregates orders of magnitude smaller
+    than the input. Spark does not share common subplans across union
+    branches, hence the explicit persist -- without it every level would
+    re-aggregate the raw input.
     """
     if not 0 <= min_z <= max_z <= 15:
         raise ValueError("need 0 <= min_z <= max_z <= 15")
-    base = tile_counts(nodes, max_z).withColumn("z", F.lit(max_z))
-    levels = [base.select("z", "tile", "cnt")]
-    prev = levels[0]
+    base = tile_counts(nodes, max_z).withColumn("z", F.lit(max_z)).select("z", "tile", "cnt")
+    if materialize:
+        base = base.persist()
+        base.count()  # ONE job scans the input; everything below reads cache
+    levels = [base]
     for z in range(max_z - 1, min_z - 1, -1):
-        prev = (
-            prev.groupBy(F.shiftright(F.col("tile"), 2).alias("tile"))
+        levels.append(
+            base.groupBy(F.shiftright(F.col("tile"), 2 * (max_z - z)).alias("tile"))
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("z", F.lit(z))
             .select("z", "tile", "cnt")
         )
-        levels.append(prev)
     return reduce(lambda a, b: a.unionByName(b), levels)
 
 

@@ -55,6 +55,7 @@ def synth_pages(
     orders_per_page: int = 20,
     granularity: int = 1,
     compress_every: int = 3,
+    replicate: int = 1,
 ) -> DataFrame:
     """lineitem -> pages DataFrame (not yet written).
 
@@ -62,6 +63,10 @@ def synth_pages(
     way per order, refs = that order's node ids in linenumber order).
     Every ``compress_every``-th page is zlib-compressed (both paths stay
     exercised).
+
+    ``replicate > 1`` unions K disjoint copies (orderkeys offset by
+    k * 2^25, so node ids, pages, and coordinates are all distinct) --
+    used to scale the bench input for compute-bound scaling studies.
     """
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -70,6 +75,12 @@ def synth_pages(
             F.col("l_linenumber").cast("long").alias("lineno"),
         )
     )
+    if replicate > 1:
+        base = li
+        for k in range(1, replicate):
+            li = li.unionByName(
+                base.select((F.col("okey") + F.lit(k * (1 << 25))).alias("okey"), "lineno")
+            )
     grouped = (
         li.withColumn("page", (F.col("okey") / F.lit(orders_per_page)).cast("long"))
         .groupBy("page")

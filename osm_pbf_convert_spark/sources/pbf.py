@@ -391,6 +391,133 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     return in_df.mapInArrow(fn, out_schema)
 
 
+def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+    """ONE decode pass over the payloads emitting every entity kind in a
+    tall union schema: kind 0=node, 1=way, 2=relation; node columns null on
+    way rows and vice versa. Use when a pipeline consumes nodes AND ways
+    (e.g. the flagship join): persist this and filter by kind -- halves the
+    decode cost vs calling decode_nodes + decode_ways separately.
+    """
+    pcols = list(passthrough)
+    in_df = df.select(*pcols, payload_col)
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", kind int, id bigint, lat double, lon double, ilat int, ilon int,"
+        + " tags map<string,string>, refs array<bigint>,"
+        + " members array<struct<member_type:int, ref:bigint, role:string>>"
+    )
+    member_t = pa.struct([("member_type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())])
+    empty_f64 = pa.nulls(0, pa.float64())
+
+    def fn(batches):
+        for batch in batches:
+            payloads = batch.column(payload_col)
+            per_row = [
+                parse_payload(payloads[i].as_py()) for i in range(batch.num_rows)
+            ]
+            n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            n_r = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+            repeats = n_n + n_w + n_r
+            total = int(repeats.sum())
+            if total == 0:
+                continue
+            kind_l, id_l, lat_l, lon_l = [], [], [], []
+            tag_counts, tag_keys, tag_vals = [], [], []
+            ref_counts, refs_flat = [], []
+            mem_counts, mem_flat = [], []
+            for p in per_row:
+                nn, nw, nr = len(p.nodes.ids), len(p.ways.ids), len(p.relations.ids)
+                kind_l.append(np.concatenate([
+                    np.zeros(nn, np.int32), np.ones(nw, np.int32), np.full(nr, 2, np.int32)
+                ]))
+                id_l.append(np.concatenate([
+                    p.nodes.ids, np.asarray(p.ways.ids, np.int64), np.asarray(p.relations.ids, np.int64)
+                ]))
+                lat_l.append(p.nodes.lat)
+                lon_l.append(p.nodes.lon)
+                tag_counts.append(p.nodes.tag_counts)
+                tag_keys.extend(p.nodes.tag_keys)
+                tag_vals.extend(p.nodes.tag_vals)
+                for d in p.ways.tags + p.relations.tags:
+                    tag_counts.append(np.array([len(d)], np.int32))
+                    tag_keys.extend(d.keys())
+                    tag_vals.extend(d.values())
+                for r in p.ways.refs:
+                    ref_counts.append(len(r))
+                    refs_flat.append(r)
+                mem_counts.extend(len(m) for m in p.relations.members)
+                mem_flat.extend(m for ms in p.relations.members for m in ms)
+            kind = np.concatenate(kind_l)
+            ids = np.concatenate(id_l)
+            nodes_mask = kind == 0
+            ways_mask = kind == 1
+            rels_mask = kind == 2
+            lat = np.full(total, np.nan)
+            lon = np.full(total, np.nan)
+            lat[nodes_mask] = np.concatenate(lat_l) if lat_l else []
+            lon[nodes_mask] = np.concatenate(lon_l) if lon_l else []
+            ilat = np.zeros(total, np.int32)
+            ilon = np.zeros(total, np.int32)
+            ilat[nodes_mask] = quantize_np(lat[nodes_mask])
+            ilon[nodes_mask] = quantize_np(lon[nodes_mask])
+            # tags: per-entity counts were appended nodes-first per PAGE,
+            # then ways, then rels -- same order as kind/id construction
+            counts_all = np.concatenate(tag_counts) if tag_counts else np.empty(0, np.int32)
+            tags_arr = _tags_map_array(counts_all, tag_keys, tag_vals)
+            # refs list: null for non-way rows (vectorized CSR offsets)
+            per_row_refs = np.zeros(total, np.int64)
+            per_row_refs[ways_mask] = np.asarray(ref_counts, np.int64)
+            ref_off = np.zeros(total + 1, np.int32)
+            ref_off[1:] = np.cumsum(per_row_refs).astype(np.int32)
+            refs_child = (
+                np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64)
+            )
+            refs_arr = pa.ListArray.from_arrays(
+                pa.array(ref_off, pa.int32()), pa.array(refs_child, pa.int64()),
+            )
+            refs_arr = _mask_list(refs_arr, ways_mask)
+            per_row_mem = np.zeros(total, np.int64)
+            per_row_mem[rels_mask] = np.asarray(mem_counts, np.int64)
+            mem_off = np.zeros(total + 1, np.int32)
+            mem_off[1:] = np.cumsum(per_row_mem).astype(np.int32)
+            mem_struct = pa.array(
+                [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in mem_flat],
+                type=member_t,
+            )
+            mem_arr = _mask_list(
+                pa.ListArray.from_arrays(pa.array(mem_off, pa.int32()), mem_struct), rels_mask
+            )
+            arrays = _passthrough_take(batch, pcols, repeats)
+            arrays += [
+                pa.array(kind, pa.int32()),
+                pa.array(ids, pa.int64()),
+                pa.array(lat, pa.float64()),
+                pa.array(lon, pa.float64()),
+                pa.array(ilat, pa.int32()),
+                pa.array(ilon, pa.int32()),
+                tags_arr,
+                refs_arr,
+                mem_arr,
+            ]
+            names = pcols + ["kind", "id", "lat", "lon", "ilat", "ilon", "tags", "refs", "members"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return in_df.mapInArrow(fn, out_schema)
+
+
+def _mask_list(arr: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
+    """Null out list entries where keep is False (empty-vs-null fidelity
+    for the union schema)."""
+    if keep.all():
+        return arr
+    mask = pa.array(~keep)  # True where null
+    return pa.ListArray.from_arrays(
+        arr.offsets, arr.values, mask=mask
+    )
+
+
 def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
     pcols = list(passthrough)
     in_df = df.select(*pcols, payload_col)

@@ -83,3 +83,36 @@ class TestDecodeWaysRels:
         assert len(rels) == 20
         m = rels.iloc[0]["members"]
         assert [(x["member_type"], x["ref"], x["role"]) for x in m] == [(0, 1, "stop"), (1, 1, "way")]
+
+
+@pytest.mark.spark
+class TestDecodeEntities:
+    def test_union_matches_separate_decodes(self, spark, pages_df):
+        from osm_pbf_convert_spark.sources.pbf import decode_entities
+
+        ent = decode_entities(pages_df).toPandas()
+        nodes = decode_nodes(pages_df).toPandas()
+        ways = decode_ways(pages_df).toPandas()
+        rels = decode_relations(pages_df).toPandas()
+        en = ent[ent["kind"] == 0].sort_values("id").reset_index(drop=True)
+        ew = ent[ent["kind"] == 1].sort_values("id").reset_index(drop=True)
+        er = ent[ent["kind"] == 2].sort_values("id").reset_index(drop=True)
+        nodes = nodes.sort_values("id").reset_index(drop=True)
+        ways = ways.sort_values("id").reset_index(drop=True)
+        rels = rels.sort_values("id").reset_index(drop=True)
+        assert len(en) == len(nodes) and len(ew) == len(ways) and len(er) == len(rels)
+        assert (en["id"].values == nodes["id"].values).all()
+        assert (en["lat"].values == nodes["lat"].values).all()
+        assert (en["ilat"].values == nodes["ilat"].values).all()
+        for a, b in zip(en["tags"], nodes["tags"]):
+            assert dict(a) == dict(b)
+        for a, b in zip(ew["refs"], ways["refs"]):
+            assert list(a) == list(b)
+        for a, b in zip(ew["tags"], ways["tags"]):
+            assert dict(a) == dict(b)
+        for a, b in zip(er["members"], rels["members"]):
+            assert [tuple(x.values()) if isinstance(x, dict) else (x["member_type"], x["ref"], x["role"]) for x in a] == \
+                   [(x["member_type"], x["ref"], x["role"]) for x in b]
+        # node rows have null refs/members; way rows have null lat/members
+        assert en["refs"].isna().all() and en["members"].isna().all()
+        assert ew["members"].isna().all()
