@@ -757,6 +757,57 @@ def q_multimodal_features(spark, sf_dir):
     return out.select("media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
 
 
+
+# ---------------------------------------------------------------------------
+# way size stats (#28), heavy hitters (#23), event-time windows (streaming
+# semantics validated in batch)
+# ---------------------------------------------------------------------------
+
+def q_way_size_histogram(spark, sf_dir):
+    from osm_pbf_convert_spark.operators.stats import way_size_histogram
+
+    res = resolve_ways(_li_ways(spark, sf_dir), _li_nodes(spark, sf_dir), keep_tags=False)
+    return way_size_histogram(res)
+
+
+_Q_WAYSIZE_ORACLE = f"""
+WITH per_way AS (
+  SELECT l_orderkey, COUNT(*) AS n_nodes FROM {{_LI_PAIRS_SQL}} li GROUP BY l_orderkey
+)
+SELECT n_nodes, COUNT(*) AS n_ways FROM per_way GROUP BY n_nodes
+""".format(_LI_PAIRS_SQL=_LI_PAIRS_SQL)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    from osm_pbf_convert_spark.operators.stats import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "events"), "event_type", min_count=100)
+
+
+_Q_HEAVY_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type HAVING COUNT(*) >= 100
+"""
+
+
+def q_event_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+_Q_EVENTWIN_ORACLE = """
+SELECT (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -786,6 +837,9 @@ QUERIES = {
     "decode_nodes": q_decode_nodes,
     "decode_ways": q_decode_ways,
     "pages_geo": q_pages_geo,
+    "way_size_histogram": q_way_size_histogram,
+    "heavy_hitters": q_heavy_hitters,
+    "event_windows": q_event_windows,
     # rows-only (non-SQL-expressible / heuristic / approximate)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
@@ -824,4 +878,7 @@ ORACLES = {
     "decode_nodes": _Q_DECODE_ORACLE,
     "decode_ways": _Q_DECODE_WAYS_ORACLE,
     "pages_geo": _Q_PAGES_GEO_ORACLE,
+    "way_size_histogram": _Q_WAYSIZE_ORACLE,
+    "heavy_hitters": _Q_HEAVY_ORACLE,
+    "event_windows": _Q_EVENTWIN_ORACLE,
 }

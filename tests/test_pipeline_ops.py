@@ -217,3 +217,98 @@ class TestCheckpoint:
         assert n == 2  # only 2 and 3 processed
         got_parts = {r["partition_id"] for r in spark.read.parquet(sink).select("partition_id").distinct().collect()}
         assert got_parts == {2, 3}
+
+
+@pytest.mark.spark
+class TestStats:
+    def test_median_split_invariant(self, spark):
+        """Port of the reference QuickSortSplitTests invariant: split within
+        count/100 of the median, max(left) <= split <= min(right)."""
+        import random
+
+        rng = random.Random(125)
+        vals = [rng.randint(0, 10**6) for _ in range(1000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        from osm_pbf_convert_spark.operators.stats import median_split
+
+        m = median_split(df, "v", rel_err=0.01)
+        below = sorted(vals).index(sorted(vals, key=lambda x: abs(x - m))[0])
+        rank = sum(1 for v in vals if v <= m)
+        assert abs(rank - 500) <= 1000 // 100 + 1
+        left = [v for v in vals if v <= m]
+        right = [v for v in vals if v > m]
+        assert max(left) <= min(right)
+
+    def test_median_split_duplicates(self, spark):
+        vals = [i % 300 for i in range(900)]
+        df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+        from osm_pbf_convert_spark.operators.stats import median_split
+
+        m = median_split(df, "v", rel_err=0.01)
+        rank = sum(1 for v in vals if v <= m)
+        assert abs(rank - 450) <= 900 // 100 + 150  # duplicate plateaus shift rank
+
+    def test_way_size_summary(self, spark, sf_dir):
+        from osm_pbf_convert_spark import queries as Q
+        from osm_pbf_convert_spark.operators.joins import resolve_ways
+        from osm_pbf_convert_spark.operators.stats import way_size_summary
+
+        res = resolve_ways(Q._li_ways(spark, sf_dir), Q._li_nodes(spark, sf_dir), keep_tags=False)
+        s = way_size_summary(res)
+        assert s["max_nodes"] >= 1 and s["n_ways"] > 0
+        assert len(s["box_size_quantiles"]) == 6
+        assert s["box_size_quantiles"] == sorted(s["box_size_quantiles"])
+
+
+@pytest.mark.spark
+class TestTagDictionaryFile:
+    def test_load_from_json(self, spark):
+        from osm_pbf_convert_spark.operators.tags import TagDictionary
+
+        td = TagDictionary.load("data/tags_map.json")
+        assert td.key_codes["name"] == 1
+        assert "created_by" in td.stoplist
+        df = spark.createDataFrame(
+            [(1, {"amenity": "cafe", "created_by": "x", "name": "N", "zzz": "drop"})],
+            schema="id bigint, tags map<string,string>",
+        )
+        out = td.encode(spark, df, kind="node").toPandas()
+        assert len(out) == 2  # cafe -> 1001, name -> key 1; created_by+zzz dropped
+
+
+@pytest.mark.spark
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        """availableNow streaming run over the events parquet produces the
+        same windowed counts as the batch transformation."""
+        from osm_pbf_convert_spark.streaming.windows import (
+            stream_windowed_event_counts,
+            windowed_event_counts,
+        )
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = (
+            windowed_event_counts(events)
+            .select("window_start", "event_type", "n_events")
+            .toPandas()
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        schema = events.schema.simpleString()[7:-1].replace(":", " ")
+        sdf = stream_windowed_event_counts(spark, f"{sf_dir}", schema)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("wincounts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("select * from wincounts")
+            .toPandas()
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(batch[["window_start", "event_type", "n_events"]])
