@@ -54,7 +54,10 @@ def main():
         # test files are tiny; split them so input parallelism matches the
         # core count (at 100 TB the natural file count does this)
         extra_conf={"spark.sql.files.maxPartitionBytes": str(1 << 20),
-                    "spark.sql.files.openCostInBytes": str(1 << 20)},
+                    "spark.sql.files.openCostInBytes": str(1 << 20),
+                    # single-JVM local mode: all executor threads share one
+                    # heap; size it like a real executor fleet would be
+                    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf = args.sf_dir

@@ -49,15 +49,44 @@ def encode_varints(values) -> bytes:
     return bytes(out)
 
 
+def _decode_varints_small(b) -> np.ndarray:
+    """Scalar decode for short runs -- numpy's fixed per-call overhead
+    (~30us) dwarfs a Python loop below ~100 bytes."""
+    out = []
+    res = 0
+    shift = 0
+    for byte in b:
+        res |= (int(byte) & 0x7F) << shift
+        if byte < 0x80:
+            out.append(res & 0xFFFFFFFFFFFFFFFF)
+            res = 0
+            shift = 0
+        else:
+            shift += 7
+    if shift:
+        raise ValueError("truncated varint stream")
+    return np.array(out, dtype=np.uint64)
+
+
 def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
     """Decode ALL concatenated LSB-first varints in *buf* -> uint64 array.
 
-    Fully vectorized: O(len(buf)) numpy ops, no Python loop. Semantics match
-    the reference reader ``result += (b & 0x7f) << shift`` with uint64 wrap.
+    Vectorized for long runs (O(len) numpy ops), scalar fast path for short
+    ones. Semantics match the reference reader
+    ``result += (b & 0x7f) << shift`` with uint64 wrap.
     """
-    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    if b.size == 0:
-        return np.empty(0, dtype=np.uint64)
+    if isinstance(buf, np.ndarray):
+        if buf.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        if buf.size < 96:
+            return _decode_varints_small(buf.tobytes())  # native-int iteration
+        b = buf
+    else:
+        if len(buf) == 0:
+            return np.empty(0, dtype=np.uint64)
+        if len(buf) < 96:
+            return _decode_varints_small(buf)
+        b = np.frombuffer(buf, dtype=np.uint8)
     is_end = b < 0x80
     n = int(is_end.sum())
     if n == 0 or not is_end[-1]:
@@ -87,6 +116,11 @@ def zigzag_decode(values: np.ndarray) -> np.ndarray:
     """uint64 zigzag -> int64. Matches ``EncodeHelpers.DecodeZigZag``:
     value = (long)(u >> 1); if (u & 1) value = -1 ^ value."""
     u = np.asarray(values, dtype=np.uint64)
+    if u.size < 32:  # scalar path: numpy overhead dominates tiny arrays
+        return np.array(
+            [-1 ^ (int(x) >> 1) if int(x) & 1 else int(x) >> 1 for x in u.tolist()],
+            dtype=np.int64,
+        )
     half = (u >> np.uint64(1)).astype(np.int64)
     return np.where((u & np.uint64(1)).astype(bool), np.int64(-1) ^ half, half)
 

@@ -89,11 +89,13 @@ class TestPlanShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_pyramid_single_input_scan(self, spark, sf_dir):
-        """tile_pyramid must scan the input once: rollups read the previous
-        aggregate, so exactly one base groupBy touches input rows."""
+    def test_pyramid_rollups_read_cache(self, spark, sf_dir):
+        """tile_pyramid scans the input once: the base aggregate is
+        persisted and every coarser level reads InMemoryTableScan, never
+        the input relation."""
         from osm_pbf_convert_spark import queries as Q
 
-        df = Q.q_tile_pyramid(spark, sf_dir)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("Relation") <= 1 or plan.count("lineitem") <= 1
+        df = Q.q_tile_pyramid(spark, sf_dir)  # max_z=8, min_z=4 -> 5 levels
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # base branch + 4 rollup branches all read the cached base
+        assert plan.count("InMemoryTableScan") >= 5
