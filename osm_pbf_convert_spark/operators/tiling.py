@@ -14,8 +14,6 @@ hierarchical tile pyramid (zooms 0-15).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,34 +44,36 @@ def tile_counts(nodes: DataFrame, z: int) -> DataFrame:
     )
 
 
-def tile_pyramid(
-    nodes: DataFrame, max_z: int = 15, min_z: int = 0, materialize: bool = True
-) -> DataFrame:
-    """(z, tile, cnt) for all zooms in [min_z, max_z].
+def tile_pyramid(nodes: DataFrame, max_z: int = 15, min_z: int = 0) -> DataFrame:
+    """(z, tile, cnt) for all zooms in [min_z, max_z] in ONE aggregation.
 
-    Single input scan: the base aggregate runs at max_z and is persisted;
-    every coarser level rolls up directly from the cached base
-    (parent tile = base tile >> 2*(max_z-z)), so all levels run as parallel
-    branches of one job over tile aggregates orders of magnitude smaller
-    than the input. Spark does not share common subplans across union
-    branches, hence the explicit persist -- without it every level would
-    re-aggregate the raw input.
+    GROUPING SETS over the per-zoom tile prefixes: Catalyst plans a single
+    Expand + partial/final hash aggregate -- one input scan, one shuffle of
+    partially-aggregated tile counts, no union branches that would
+    re-aggregate the input and no persisted intermediates. The Expand
+    multiplies rows by the level count BEFORE partial aggregation, which
+    map-side-collapses to per-partition distinct tiles -- shuffle volume is
+    bounded by tiles-per-partition x levels, not input rows.
+
+    (min_z == 0 is served from the z-1 rollup driver-side-free: tile 0 at
+    z=0 is the global count, still part of the same grouping sets.)
     """
     if not 0 <= min_z <= max_z <= 15:
         raise ValueError("need 0 <= min_z <= max_z <= 15")
-    base = tile_counts(nodes, max_z).withColumn("z", F.lit(max_z)).select("z", "tile", "cnt")
-    if materialize:
-        base = base.persist()
-        base.count()  # ONE job scans the input; everything below reads cache
-    levels = [base]
-    for z in range(max_z - 1, min_z - 1, -1):
-        levels.append(
-            base.groupBy(F.shiftright(F.col("tile"), 2 * (max_z - z)).alias("tile"))
-            .agg(F.sum("cnt").alias("cnt"))
-            .withColumn("z", F.lit(z))
-            .select("z", "tile", "cnt")
-        )
-    return reduce(lambda a, b: a.unionByName(b), levels)
+    zooms = list(range(min_z, max_z + 1))
+    cell = morton_cell_col(F.col("ilat"), F.col("ilon"))
+    pre = nodes.select(*[tile_col(cell, z).alias(f"t{z}") for z in zooms])
+    gs = pre.groupingSets(
+        [[f"t{z}"] for z in zooms], *[F.col(f"t{z}") for z in zooms]
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # exactly one t{z} is non-null per output row (single-column sets; tile
+    # ids themselves are never null)
+    tile = F.coalesce(*[F.col(f"t{z}") for z in zooms])
+    zcol = None
+    for z in zooms:
+        branch = F.when(F.col(f"t{z}").isNotNull(), z)
+        zcol = branch if zcol is None else zcol.when(F.col(f"t{z}").isNotNull(), z)
+    return gs.select(zcol.alias("z"), tile.alias("tile"), "cnt")
 
 
 def rasterize_tiles(tile_df: DataFrame, z: int) -> DataFrame:

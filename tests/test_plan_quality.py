@@ -89,16 +89,18 @@ class TestPlanShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
-    def test_pyramid_rollups_read_cache(self, spark, sf_dir):
-        """tile_pyramid scans the input once: the base aggregate is
-        persisted and every coarser level reads InMemoryTableScan, never
-        the input relation."""
+    def test_pyramid_single_scan_single_shuffle(self, spark, sf_dir):
+        """tile_pyramid is one Expand + one aggregate: a single input scan
+        and a single shuffle for ALL zoom levels -- no union branches."""
         from osm_pbf_convert_spark import queries as Q
 
         df = Q.q_tile_pyramid(spark, sf_dir)  # max_z=8, min_z=4 -> 5 levels
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # base branch + 4 rollup branches all read the cached base
-        assert plan.count("InMemoryTableScan") >= 5
+        assert plan.count("Expand") == 1
+        assert plan.count("Union") == 0
+        # one shuffle for the pyramid aggregate (+ one from the upstream
+        # distinct-pairs derivation of the test fixture)
+        assert plan.count("Exchange hashpartitioning") <= 2
 
 
 @pytest.mark.spark
