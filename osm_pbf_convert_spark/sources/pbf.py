@@ -314,6 +314,30 @@ def parse_payload(payload: bytes, want=("nodes", "ways", "relations")) -> Decode
 # Spark layer: mapInArrow wrappers
 # ---------------------------------------------------------------------------
 
+
+def _iter_binary(arr: pa.Array):
+    """Zero-copy iteration over a (Large)Binary arrow array: yields
+    memoryviews into the value buffer instead of per-row bytes copies."""
+    if isinstance(arr, pa.ChunkedArray):
+        for chunk in arr.chunks:
+            yield from _iter_binary(chunk)
+        return
+    if arr.null_count == 0 and isinstance(arr, (pa.BinaryArray, pa.LargeBinaryArray)):
+        width = 8 if isinstance(arr, pa.LargeBinaryArray) else 4
+        dt = np.int64 if width == 8 else np.int32
+        offsets = np.frombuffer(arr.buffers()[1], dtype=dt, count=len(arr) + 1 + arr.offset)
+        offsets = offsets[arr.offset:]
+        # IPC-stream buffers can expose format 'b' (signed); the parser
+        # indexes bytes and needs unsigned semantics
+        data = memoryview(arr.buffers()[2]).cast("B")
+        for i in range(len(arr)):
+            yield data[offsets[i]:offsets[i + 1]]
+    else:
+        for i in range(len(arr)):
+            v = arr[i].as_py()
+            yield v if v is not None else b""
+
+
 _MAP_T = pa.map_(pa.string(), pa.string())
 
 
@@ -359,10 +383,9 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
 
     def fn(batches):
         for batch in batches:
-            payloads = batch.column(payload_col)
             per_row: list[DecodedPayload] = [
-                parse_payload(payloads[i].as_py(), want=("nodes",))
-                for i in range(batch.num_rows)
+                parse_payload(buf, want=("nodes",))
+                for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
             if repeats.sum() == 0:
@@ -412,9 +435,8 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
 
     def fn(batches):
         for batch in batches:
-            payloads = batch.column(payload_col)
             per_row = [
-                parse_payload(payloads[i].as_py()) for i in range(batch.num_rows)
+                parse_payload(buf) for buf in _iter_binary(batch.column(payload_col))
             ]
             n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
             n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -529,10 +551,9 @@ def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = (
 
     def fn(batches):
         for batch in batches:
-            payloads = batch.column(payload_col)
             per_row = [
-                parse_payload(payloads[i].as_py(), want=("ways",))
-                for i in range(batch.num_rows)
+                parse_payload(buf, want=("ways",))
+                for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
             if repeats.sum() == 0:
@@ -573,10 +594,9 @@ def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tupl
 
     def fn(batches):
         for batch in batches:
-            payloads = batch.column(payload_col)
             per_row = [
-                parse_payload(payloads[i].as_py(), want=("relations",))
-                for i in range(batch.num_rows)
+                parse_payload(buf, want=("relations",))
+                for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
             if repeats.sum() == 0:
