@@ -1,0 +1,89 @@
+"""spark-submit entry point: the full decode -> join -> tile pipeline with
+per-partition checkpoint/resume.
+
+Cluster usage (north rule):
+
+    tools/build_pyfiles.sh   # -> dist/osm_pbf_convert_spark.zip
+    spark-submit \
+      --py-files dist/osm_pbf_convert_spark.zip \
+      jobs/run_pipeline.py \
+      --pages s3://bucket/pages_table \
+      --out   s3://bucket/geo_out \
+      --checkpoint s3://bucket/geo_ckpt \
+      --partitions 4096
+
+The job is idempotently resumable: input pages are bucketed into
+``--partitions`` logical partitions by xxhash64(url); completed partitions
+are recorded in the checkpoint table and skipped on re-run; output is
+written with dynamic partition overwrite (plans/checkpoint.py).
+
+No SparkSession config is hard-coded here beyond sane defaults -- master,
+executor sizing, and shuffle partitions come from spark-submit --conf, as
+they should on a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True, help="output root (entities/, tiles/, pages_geo/)")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
+    ap.add_argument("--partitions", type=int, default=256, help="logical resume partitions")
+    ap.add_argument("--max-zoom", type=int, default=12)
+    ap.add_argument("--job-id", default="pipeline-v1")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("osm-pbf-convert-spark-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from osm_pbf_convert_spark.plans.checkpoint import CheckpointTable, run_with_checkpoint
+    from osm_pbf_convert_spark.sources.pbf import decode_entities
+
+    table = CheckpointTable(args.checkpoint)
+    pages = spark.read.parquet(args.pages).withColumn(
+        "partition_id", F.pmod(F.xxhash64("url"), F.lit(args.partitions))
+    )
+
+    # stage 1 (resumable): decode entities per partition
+    def decode_stage(pend):
+        out = decode_entities(pend, passthrough=("url", "partition_id"))
+        return out
+
+    n = run_with_checkpoint(
+        spark, pages, decode_stage, f"{args.out}/entities", table, f"{args.job_id}-decode"
+    )
+    print(f"decode: committed {n} partitions")
+
+    # stage 2 (derived, idempotent overwrite): joins + tiles from the
+    # materialized entities table
+    from osm_pbf_convert_spark.operators.joins import join_pages_geo, resolve_ways
+    from osm_pbf_convert_spark.operators.tiling import heat_map, tile_pyramid
+
+    entities = spark.read.parquet(f"{args.out}/entities")
+    nodes = entities.filter(F.col("kind") == 0).select("url", "id", "ilat", "ilon", "tags")
+    ways = entities.filter(F.col("kind") == 1).select("id", "refs", "tags")
+
+    resolve_ways(ways, nodes.drop("url")).write.mode("overwrite").parquet(f"{args.out}/ways_resolved")
+    tile_pyramid(nodes, max_z=args.max_zoom, min_z=0).write.mode("overwrite").parquet(f"{args.out}/tiles")
+    heat_map(nodes).write.mode("overwrite").parquet(f"{args.out}/heat")
+    join_pages_geo(spark.read.parquet(args.pages), nodes).write.mode("overwrite").parquet(
+        f"{args.out}/pages_geo"
+    )
+    print("pipeline complete")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
