@@ -203,3 +203,29 @@ class TestSpatialPartitioning:
         one = back.filter(back["tile"] == int(tiles[0].split("=")[1]))
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(tile" in plan
+
+
+class TestDriverContract:
+    def test_registry_consistency(self):
+        import __spark_entry__ as e
+
+        qs = e.queries()
+        oracles = e.oracle_sql()
+        assert set(oracles) <= set(qs), "every oracle must have a query"
+        assert len(qs) >= 30
+        assert len(oracles) >= 24
+        for name, fn in qs.items():
+            assert callable(fn), name
+        for name, sql in oracles.items():
+            assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+    def test_bench_subset_exists(self):
+        import re
+
+        from osm_pbf_convert_spark.queries import QUERIES
+
+        src = open("bench.py").read()
+        m = re.search(r"subset = \[(.*?)\]", src, re.S)
+        names = re.findall(r'"([a-z_0-9]+)"', m.group(1))
+        for n in names:
+            assert n in QUERIES, n
