@@ -137,6 +137,46 @@ def simhash_col(text, bits: int = 64, token_pattern: str = r"\s+"):
     return acc
 
 
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3, bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with simhash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into max_hamming+1
+    chunks -- any pair within distance d agrees exactly on >= 1 chunk, so
+    an equi-join per chunk finds ALL such pairs (no recall loss); exact
+    popcount (bit_count, JVM) verifies candidates.
+    """
+    b = bands or (max_hamming + 1)
+    width = 64 // b
+    s = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1) if width < 64 else F.lit(-1))
+                .alias("chunk"),
+            )
+            for i in range(b)
+        ]
+    )
+    banded = s.select(id_col, "simhash", F.explode(chunk_arr).alias("c")).select(
+        id_col, "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "chunk")
+    b_ = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    pairs = (
+        a.join(b_, ["band", "chunk"]).filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+    return pairs
+
+
 def simhash_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of docs with IDENTICAL simhash (near-dup at hamming 0); for
     hamming <= d banding, split the 64 bits into d+1 chunks upstream."""

@@ -688,6 +688,10 @@ def q_simhash_groups(spark, sf_dir):
     return dedup.simhash_dedup_groups(_t(spark, sf_dir, "documents")).select("simhash", "n")
 
 
+def q_simhash_hamming_pairs(spark, sf_dir):
+    return dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6, min_common=5
@@ -843,6 +847,7 @@ QUERIES = {
     # rows-only (non-SQL-expressible / heuristic / approximate)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality": q_quality,

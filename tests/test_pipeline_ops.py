@@ -312,3 +312,25 @@ class TestStreaming:
             .reset_index(drop=True)
         )
         assert got.equals(batch[["window_start", "event_type", "n_events"]])
+
+
+@pytest.mark.spark
+class TestSimhashHamming:
+    def test_pairs_vs_bruteforce(self, spark, docs_df):
+        df, _ = docs_df
+        got = dedup.simhash_hamming_pairs(df, max_hamming=6).toPandas()
+        got_pairs = {(r["a"], r["b"]): r["hamming"] for _, r in got.iterrows()}
+        # brute force oracle over computed signatures
+        sigs = (
+            df.select("doc_id", dedup.simhash_col(F.col("text")).alias("s"))
+            .toPandas().set_index("doc_id")["s"].to_dict()
+        )
+        ids = sorted(sigs)
+        exp = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= 6:
+                    exp[(a, b)] = h
+        assert got_pairs == exp
+        assert (1, 2) in got_pairs and got_pairs[(1, 2)] == 0
