@@ -40,18 +40,27 @@ HIGHWAY_TYPES = {
 }
 
 
+def _tag_value_ci(tags, key: str):
+    """First value whose key matches case-insensitively -- the reference's
+    ``FirstOrDefault(x => x.Key.Equals(key, OrdinalIgnoreCase))``.
+    (map_from_entries would fail on case-duplicate keys; array filter keeps
+    first-match semantics.)"""
+    hits = F.filter(F.map_entries(tags), lambda e: F.lower(e["key"]) == key.lower())
+    return F.when(F.size(hits) > 0, F.element_at(hits, 1)["value"])
+
+
 def way_type_col(tags):
-    """tags map<string,string> -> int way type. Matches GetWayType exactly;
-    the reference matches tag KEYS case-insensitively too, so probe the
-    lower-cased map."""
-    hw = F.lower(F.element_at(tags, "highway"))
+    """tags map<string,string> -> int way type. Matches GetWayType exactly,
+    including case-insensitive KEY matching (the reference compares keys
+    with OrdinalIgnoreCase) and case-insensitive highway VALUES."""
+    hw = F.lower(_tag_value_ci(tags, "highway"))
     expr = None
     for value, code in HIGHWAY_TYPES.items():
         branch = F.when(hw == value, code)
         expr = branch if expr is None else expr.when(hw == value, code)
     expr = expr.otherwise(
         F.when(hw.isNotNull(), 2).otherwise(
-            F.when(F.element_at(tags, "building").isNotNull(), 100).otherwise(1)
+            F.when(_tag_value_ci(tags, "building").isNotNull(), 100).otherwise(1)
         )
     )
     return expr

@@ -132,6 +132,8 @@ class TestTags:
         cases = [
             ({"highway": "motorway"}, 3),
             ({"highway": "MOTORWAY"}, 3),
+            ({"HIGHWAY": "trunk"}, 4),     # key matched case-insensitively
+            ({"Building": "yes"}, 100),
             ({"highway": "bridleway"}, 22),
             ({"highway": "weird_value"}, 2),
             ({"building": "yes"}, 100),
@@ -287,6 +289,35 @@ class TestSpatial:
             ) ** 2
             exp = pts.assign(d2=d2).sort_values(["d2", "id"]).head(5)["id"].tolist()
             got = out[out["query_id"] == q["query_id"]].sort_values("rank")["id"].tolist()
+            assert got == exp
+
+    def test_knn_ring2_wider_coverage(self, spark):
+        """ring=2 exercises the Morton inc/dec chains two steps out; with a
+        fine zoom the single-tile neighborhood is too small and ring2 must
+        recover the true neighbors."""
+        rng = np.random.default_rng(21)
+        pts = pd.DataFrame(
+            {
+                "id": np.arange(500, dtype=np.int64),
+                "ilat": rng.integers(0, 2**24, 500).astype(np.int32),
+                "ilon": rng.integers(0, 2**24, 500).astype(np.int32),
+            }
+        )
+        qs = pd.DataFrame({"query_id": [1, 2], "ilat": [2**23, 2**22], "ilon": [2**23, 2**22]})
+        # z=8 -> tile size 2^24 over a 2^24 extent: points span ~1 tile at
+        # (128,128)... use z=10 so the extent covers ~2^ tiles? compute:
+        # biased coords 2^31+[0,2^24); z=10 tile width 2^22 -> extent = 4 tiles
+        out = knn_join(
+            spark.createDataFrame(pts), spark.createDataFrame(qs), k=8, z=10, ring=2
+        ).toPandas()
+        for _, q in qs.iterrows():
+            d2 = (pts["ilat"].astype(np.float64) - q["ilat"]) ** 2 + (
+                pts["ilon"].astype(np.float64) - q["ilon"]
+            ) ** 2
+            exp = pts.assign(d2=d2).sort_values(["d2", "id"]).head(8)["id"].tolist()
+            got = out[out["query_id"] == q["query_id"]].sort_values("rank")["id"].tolist()
+            # ring-2 at z=10 covers 5x5 tiles of width 2^22 around the query:
+            # all true top-8 lie within that window for these fixtures
             assert got == exp
 
     def test_knn_salted_same_result(self, spark):
