@@ -94,3 +94,22 @@ def write_spatial_table(df: DataFrame, path: str, z: int = 6) -> None:
         .partitionBy("tile")
         .parquet(path)
     )
+
+
+def write_bucketed_nodes(
+    df: DataFrame, table: str, buckets: int = 64, id_col: str = "id"
+) -> None:
+    """Persist nodes as a bucketed+sorted table on the join key -- the
+    durable analog of the reference's clustered node store
+    (`NodesIndex.cs`: delta-coded blocks clustered by node id + sparse
+    index). Every future ways⋈nodes run against this table skips the
+    nodes-side shuffle AND sort: Catalyst sees the bucketing and plans a
+    one-sided exchange only. Worth it when the node table is joined many
+    times (the reference's exact access pattern)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

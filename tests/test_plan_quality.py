@@ -229,3 +229,46 @@ class TestDriverContract:
         names = re.findall(r'"([a-z_0-9]+)"', m.group(1))
         for n in names:
             assert n in QUERIES, n
+
+
+@pytest.mark.spark
+class TestBucketedNodeStore:
+    def test_bucketed_join_skips_nodes_shuffle(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from osm_pbf_convert_spark.plans.partitioning import write_bucketed_nodes
+
+        import shutil
+
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        shutil.rmtree(os.path.join(wh, "nodes_bucketed"), ignore_errors=True)
+        rng = np.random.default_rng(31)
+        nodes = pd.DataFrame(
+            {
+                "id": np.arange(5000, dtype=np.int64),
+                "ilat": rng.integers(-(2**30), 2**30, 5000).astype(np.int32),
+                "ilon": rng.integers(-(2**30), 2**30, 5000).astype(np.int32),
+            }
+        )
+        write_bucketed_nodes(spark.createDataFrame(nodes), "nodes_bucketed", buckets=8)
+        bucketed = spark.table("nodes_bucketed")
+        refs = spark.createDataFrame(
+            pd.DataFrame({"way_id": np.repeat(np.arange(500), 4), "ref": rng.integers(0, 5000, 2000)})
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force a shuffle-based join so the bucketed side's avoided
+            # exchange is observable (broadcast would hide it)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = refs.join(bucketed.withColumnRenamed("id", "ref"), "ref")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the bucketed nodes side must NOT be exchanged; only refs
+            assert plan.count("Exchange hashpartitioning") <= 1
+            assert "Bucketed: true" in plan
+            assert joined.count() == 2000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
