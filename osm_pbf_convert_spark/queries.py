@@ -592,8 +592,11 @@ _PAGES_CACHE: dict = {}
 def _pages(spark, sf_dir) -> DataFrame:
     key = sf_dir.rstrip("/")
     if key not in _PAGES_CACHE:
+        # per-process path: avoids write races if several driver processes
+        # evaluate queries concurrently; synthesis is seconds at test SFs
+        tag = key.replace("/", "_").strip("_")
         path = os.path.join(
-            tempfile.gettempdir(), f"spark_graft_pages_{abs(hash(key)) % 10**8}"
+            tempfile.gettempdir(), f"spark_graft_pages_{tag}_{os.getpid()}"
         )
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             synth_pages(spark, sf_dir).write.mode("overwrite").parquet(path)
