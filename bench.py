@@ -45,7 +45,7 @@ def main():
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--replicate", type=int, default=1,
                     help="union K disjoint input copies (compute-bound scaling runs)")
-    ap.add_argument("--iterations", type=int, default=1,
+    ap.add_argument("--iterations", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")),
                     help="repeat the timed pipeline; report the min (contention-free estimate)")
     ap.add_argument("--synth-only", action="store_true",
                     help="materialize the pages input and exit (pre-step for scaling runs)")
