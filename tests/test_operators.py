@@ -356,3 +356,21 @@ class TestPagesGeo:
         out = join_pages_geo(pages, nodes_with_url).toPandas().sort_values("url")
         assert out["text"].tolist() == texts  # byte-identical passthrough
         assert (out["n_geo"] > 0).all()
+
+
+@pytest.mark.spark
+class TestRasterize:
+    def test_rasterize_inverts_tile_ids(self, spark):
+        from osm_pbf_convert_spark.operators.spatial import tile_to_xy
+
+        z = 8
+        rng = np.random.default_rng(17)
+        tiles = rng.integers(0, 1 << (2 * z), 300, dtype=np.int64)
+        df = spark.createDataFrame(
+            pd.DataFrame({"tile": tiles, "cnt": np.ones(300, dtype=np.int64)})
+        )
+        out = rasterize_tiles(df, z).toPandas()
+        tx, ty = tile_to_xy(tiles, z)
+        got = out[["y", "x"]].to_numpy()
+        exp = np.stack([ty, tx], axis=1)
+        assert (np.sort(got, axis=0) == np.sort(exp, axis=0)).all()
