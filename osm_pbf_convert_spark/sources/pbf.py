@@ -202,6 +202,83 @@ def _decode_way(mv, span, strings, out: DecodedWays):
     out.tags.append(_decode_tags(keys_span, vals_span, mv, strings))
 
 
+def _decode_ways_batch(mv, spans, strings, out: DecodedWays):
+    """Batched decode of ALL way messages in a group: one vectorized varint
+    pass over the concatenated refs / keys / values streams instead of
+    3 small decodes per way. Per-way delta cumsum is recovered from the
+    global cumsum minus per-way bases (identical values to per-way decode).
+    """
+    arr = np.frombuffer(mv, dtype=np.uint8)
+    ids: list = []
+    key_spans: list = []
+    val_spans: list = []
+    ref_spans: list = []
+    for span in spans:
+        wid = 0
+        ks = vs = rs = None
+        for fno, wt, val in _scan_fields(mv, span[0], span[1]):
+            if fno == 1 and wt == _VARINT:
+                wid = val
+            elif fno == 2 and wt == _LEN:
+                ks = val
+            elif fno == 3 and wt == _LEN:
+                vs = val
+            elif fno == 8 and wt == _LEN:
+                rs = val
+        ids.append(wid)
+        key_spans.append(ks)
+        val_spans.append(vs)
+        ref_spans.append(rs)
+
+    # one O(block) pass: cumulative count of varint terminator bytes, so a
+    # span's varint count is two lookups instead of a per-span sum
+    ends_cum = np.cumsum(arr < 0x80, dtype=np.int64)
+
+    def _batch_decode(span_list):
+        """-> (flat uint64 values, per-span counts)."""
+        pieces = [arr[a:b] for (a, b) in span_list if a is not None]
+        if not pieces:
+            return np.empty(0, np.uint64), np.zeros(len(span_list), np.int64)
+        flat = decode_varints(np.concatenate(pieces))
+        counts = np.zeros(len(span_list), np.int64)
+        for i, s in enumerate(span_list):
+            if s is None:
+                continue
+            counts[i] = ends_cum[s[1] - 1] - (ends_cum[s[0] - 1] if s[0] else 0)
+        return flat, counts
+
+    refs_flat, ref_counts = _batch_decode([(s[0], s[1]) if s else None for s in ref_spans])
+    if refs_flat.size:
+        deltas = zigzag_decode(refs_flat)
+        cs = np.cumsum(deltas, dtype=np.int64)
+        starts = np.zeros(len(ref_counts), np.int64)
+        np.cumsum(ref_counts[:-1], out=starts[1:])
+        # per-way values = global cumsum minus the base before each range
+        bases = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        per_way_refs = cs - np.repeat(bases, ref_counts)
+    else:
+        per_way_refs = np.empty(0, np.int64)
+
+    keys_flat, key_counts = _batch_decode(key_spans)
+    vals_flat, _ = _batch_decode(val_spans)
+    key_strs = strings[keys_flat.astype(np.int64)] if keys_flat.size else np.empty(0, object)
+    val_strs = strings[vals_flat.astype(np.int64)] if vals_flat.size else np.empty(0, object)
+
+    out.ids.extend(ids)
+    rpos = 0
+    kpos = 0
+    for i in range(len(ids)):
+        rc = int(ref_counts[i])
+        out.refs.append(per_way_refs[rpos:rpos + rc])
+        rpos += rc
+        kc = int(key_counts[i])
+        out.tags.append(
+            dict(zip(key_strs[kpos:kpos + kc].tolist(), val_strs[kpos:kpos + kc].tolist()))
+            if kc else {}
+        )
+        kpos += kc
+
+
 def _decode_relation(mv, span, strings, out: DecodedRelations):
     rid = 0
     keys_span = vals_span = None
@@ -244,6 +321,7 @@ def _decode_block(block: bytes, out: DecodedPayload, want):
         elif fno == 20 and wt == _VARINT:
             lon_off = zigzag_like_int64(val)
     for g in groups:
+        way_spans = []
         for fno, wt, val in _scan_fields(mv, g[0], g[1]):
             if wt != _LEN:
                 continue
@@ -254,9 +332,11 @@ def _decode_block(block: bytes, out: DecodedPayload, want):
             if fno == 2 and "nodes" in want:
                 _decode_dense(mv, val, strings, gran, lat_off, lon_off, out.nodes)
             elif fno == 3 and "ways" in want:
-                _decode_way(mv, val, strings, out.ways)
+                way_spans.append(val)
             elif fno == 4 and "relations" in want:
                 _decode_relation(mv, val, strings, out.relations)
+        if way_spans:
+            _decode_ways_batch(mv, way_spans, strings, out.ways)
 
 
 def zigzag_like_int64(v: int) -> int:
