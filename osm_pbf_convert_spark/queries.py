@@ -815,6 +815,29 @@ SELECT (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+
+def q_pip_rects(spark, sf_dir):
+    """Point-in-polygon restricted to the axis-aligned rect polygons so a
+    SQL oracle exists: ray casting on a rect ring reduces to exact
+    half-open containment lat in [ymin,ymax), lon in [xmin,xmax) -- the
+    same engine path (compile_polygons + broadcast probe) checked
+    value-for-value against that closed form."""
+    rects = [p for p in _POLYGONS if p[0] in (1, 2)]
+    idx = spatial.compile_polygons(rects, z=6)
+    pts = _li_nodes(spark, sf_dir)
+    return spatial.assign_polygons(spark, pts, idx).select("id", "polygon_id")
+
+
+# quantized rect bounds (quantize_np of the _POLYGONS degree corners)
+_Q_PIP_RECTS_ORACLE = f"""
+WITH n AS ({{node_oracle}})
+SELECT id, CAST(1 AS BIGINT) AS polygon_id FROM n
+WHERE ilat >= 119304647 AND ilat < 715827882 AND ilon >= 119304647 AND ilon < 715827882
+UNION ALL
+SELECT id, CAST(2 AS BIGINT) AS polygon_id FROM n
+WHERE ilat >= -477218588 AND ilat < 0 AND ilon >= -1431655764 AND ilon < -715827882
+""".format(node_oracle=_LI_NODE_ORACLE)
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -858,6 +881,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "point_in_polygon": q_point_in_polygon,
+    "pip_rects": q_pip_rects,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -889,4 +913,5 @@ ORACLES = {
     "way_size_histogram": _Q_WAYSIZE_ORACLE,
     "heavy_hitters": _Q_HEAVY_ORACLE,
     "event_windows": _Q_EVENTWIN_ORACLE,
+    "pip_rects": _Q_PIP_RECTS_ORACLE,
 }
