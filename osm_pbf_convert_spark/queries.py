@@ -557,6 +557,54 @@ SELECT query_id, id, dist2, rank FROM scored WHERE rank <= 10
 """
 
 
+
+def q_knn_multi_tile(spark, sf_dir):
+    """kNN where points span multiple zoom-12 tiles (tile width 2^20 over a
+    3*2^20 extent) -- candidates really traverse the ring neighborhood.
+    Exactness on this deterministic fixture is verified against the
+    brute-force oracle (k-th neighbor distances are far below one tile
+    width at this density)."""
+    pts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr("((p_partkey * 48271) % 3145728)").cast("int").alias("ilat"),
+        F.expr("((p_partkey * 69621) % 3145728)").cast("int").alias("ilon"),
+    )
+    qs = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 8)
+        .select(
+            F.col("s_suppkey").alias("query_id"),
+            F.expr("((s_suppkey * 104729 + 7) % 3145728)").cast("int").alias("ilat"),
+            F.expr("((s_suppkey * 15485863 + 11) % 3145728)").cast("int").alias("ilon"),
+        )
+    )
+    out = spatial.knn_join(pts, qs, k=10, z=12, ring=1)
+    return out.select(
+        "query_id", "id", F.col("dist2").cast("long").alias("dist2"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_Q_KNN_MULTI_ORACLE = """
+WITH pts AS (
+  SELECT p_partkey AS id, ((p_partkey * 48271) % 3145728) AS ilat,
+         ((p_partkey * 69621) % 3145728) AS ilon FROM part
+),
+qs AS (
+  SELECT s_suppkey AS query_id, ((s_suppkey * 104729 + 7) % 3145728) AS ilat,
+         ((s_suppkey * 15485863 + 11) % 3145728) AS ilon
+  FROM supplier WHERE s_suppkey < 8
+),
+scored AS (
+  SELECT q.query_id, p.id,
+         CAST((p.ilat - q.ilat) * (p.ilat - q.ilat) + (p.ilon - q.ilon) * (p.ilon - q.ilon) AS BIGINT) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY (p.ilat - q.ilat) * (p.ilat - q.ilat) + (p.ilon - q.ilon) * (p.ilon - q.ilon), p.id) AS rank
+  FROM qs q CROSS JOIN pts p
+)
+SELECT query_id, id, dist2, rank FROM scored WHERE rank <= 10
+"""
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -863,6 +911,7 @@ QUERIES = {
     "events_dedup": q_events_dedup,
     "token_counts": q_token_counts,
     "knn": q_knn,
+    "knn_multi_tile": q_knn_multi_tile,
     "embedding_topk": q_embedding_topk,
     "decode_nodes": q_decode_nodes,
     "decode_ways": q_decode_ways,
@@ -906,6 +955,7 @@ ORACLES = {
     "events_dedup": _Q_EVENTS_ORACLE,
     "token_counts": _Q_TOKENS_ORACLE,
     "knn": _Q_KNN_ORACLE,
+    "knn_multi_tile": _Q_KNN_MULTI_ORACLE,
     "embedding_topk": _Q_EMB_ORACLE,
     "decode_nodes": _Q_DECODE_ORACLE,
     "decode_ways": _Q_DECODE_WAYS_ORACLE,
