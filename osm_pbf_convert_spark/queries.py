@@ -605,6 +605,50 @@ scored AS (
 SELECT query_id, id, dist2, rank FROM scored WHERE rank <= 10
 """
 
+
+def q_sessionization(spark, sf_dir):
+    """Window-function showcase (the reference has no window operators --
+    SURVEY §2): sessionize events per user with a 30-minute inactivity gap.
+    lag() marks session starts; a running sum over the boolean assigns
+    session ids; one aggregate emits per-session stats."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    new_sess = F.when(
+        (F.col("t") - F.lag("t").over(w) > 1800) | F.lag("t").over(w).isNull(), 1
+    ).otherwise(0)
+    sess = ev.withColumn("sess", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("t_start"),
+        F.max("t").alias("t_end"),
+    ).select(
+        "user_id", F.col("sess").cast("long").alias("sess"), "n_events", "t_start", "t_end"
+    )
+
+
+_Q_SESSION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id FROM events
+),
+marked AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+                   OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+),
+sess AS (
+  SELECT user_id, t,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id, sess, COUNT(*) AS n_events, MIN(t) AS t_start, MAX(t) AS t_end
+FROM sess GROUP BY user_id, sess
+"""
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -919,6 +963,7 @@ QUERIES = {
     "way_size_histogram": q_way_size_histogram,
     "heavy_hitters": q_heavy_hitters,
     "event_windows": q_event_windows,
+    "sessionization": q_sessionization,
     # rows-only (non-SQL-expressible / heuristic / approximate)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
@@ -964,4 +1009,5 @@ ORACLES = {
     "heavy_hitters": _Q_HEAVY_ORACLE,
     "event_windows": _Q_EVENTWIN_ORACLE,
     "pip_rects": _Q_PIP_RECTS_ORACLE,
+    "sessionization": _Q_SESSION_ORACLE,
 }
