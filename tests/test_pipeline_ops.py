@@ -295,7 +295,10 @@ class TestStreaming:
             .reset_index(drop=True)
         )
         schema = events.schema.simpleString()[7:-1].replace(":", " ")
-        sdf = stream_windowed_event_counts(spark, f"{sf_dir}", schema)
+        evdir = tmp_path / "events_only"
+        evdir.mkdir()
+        (evdir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+        sdf = stream_windowed_event_counts(spark, str(evdir), schema)
         q = (
             sdf.writeStream.format("memory")
             .queryName("wincounts")
@@ -334,3 +337,38 @@ class TestSimhashHamming:
                     exp[(a, b)] = h
         assert got_pairs == exp
         assert (1, 2) in got_pairs and got_pairs[(1, 2)] == 0
+
+
+@pytest.mark.spark
+class TestStatefulSessions:
+    def test_stream_sessions_match_batch(self, spark, sf_dir, tmp_path):
+        """applyInPandasWithState sessionizer vs the exact batch window
+        computation: every CLOSED streamed session must appear in the batch
+        session set with identical (user, start, end, count)."""
+        from osm_pbf_convert_spark import queries as Q
+        from osm_pbf_convert_spark.streaming.sessions import stream_sessionize
+
+        batch = Q.q_sessionization(spark, sf_dir).toPandas()
+        batch_keys = {
+            (r["user_id"], r["t_start"], r["t_end"], r["n_events"]) for _, r in batch.iterrows()
+        }
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = events.schema.simpleString()[7:-1].replace(":", " ")
+        evdir = tmp_path / "events_only"
+        evdir.mkdir()
+        (evdir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+        sdf = stream_sessionize(spark, str(evdir), schema, gap_seconds=1800)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from sessions_out").toPandas()
+        assert len(got) > 0, "expected at least some closed sessions"
+        for _, r in got.iterrows():
+            key = (r["user_id"], r["t_start"], r["t_end"], r["n_events"])
+            assert key in batch_keys, f"streamed session {key} not in batch sessions"
