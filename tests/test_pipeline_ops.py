@@ -366,7 +366,10 @@ class TestStatefulSessions:
             .option("checkpointLocation", str(tmp_path / "ck"))
             .start()
         )
-        q.awaitTermination(180)
+        # ProcessingTimeTimeout keeps scheduling timer batches, so the query
+        # outlives availableNow; wait for the data batches then stop.
+        q.awaitTermination(25)
+        q.stop()
         got = spark.sql("select * from sessions_out").toPandas()
         assert len(got) > 0, "expected at least some closed sessions"
         for _, r in got.iterrows():
