@@ -769,6 +769,33 @@ FROM lineitem GROUP BY 1, 2, 3
 """
 
 
+
+def q_tag_stats_by_kind(spark, sf_dir):
+    """The reference's phase-split tag stats (TagStatsProcessor emits
+    node-stats / way-stats separately): decode the pages payloads ONCE via
+    decode_entities, explode tag keys, count per (kind, key). End-to-end:
+    framing -> zlib -> string table -> tags -> agg, oracle-checked."""
+    from osm_pbf_convert_spark.sources.pbf import decode_entities
+
+    ent = decode_entities(_pages(spark, sf_dir))
+    return (
+        ent.select(F.col("kind").cast("long").alias("kind"), F.explode(F.map_keys("tags")).alias("key"))
+        .groupBy("kind", "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# synth tags: node gets {amenity: cafe} iff node_id % 10 == 0; every way
+# gets exactly one tag: highway iff orderkey even else building
+_Q_TAGKIND_ORACLE = f"""
+SELECT CAST(0 AS BIGINT) AS kind, 'amenity' AS key, COUNT(*) AS cnt
+FROM lineitem WHERE ({_LI_NID}) % 10 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'highway', COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'building', COUNT(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey % 2 = 1
+"""
+
 # ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible or heuristic)
 # ---------------------------------------------------------------------------
@@ -949,6 +976,7 @@ QUERIES = {
     "zone_maps": q_zone_maps,
     "way_classification": q_way_classification,
     "tag_key_stats": q_tag_key_stats,
+    "tag_stats_by_kind": q_tag_stats_by_kind,
     "tag_topk": q_tag_topk,
     "inverted_index": q_inverted_index,
     "exact_dedup": q_exact_dedup,
@@ -1010,4 +1038,5 @@ ORACLES = {
     "event_windows": _Q_EVENTWIN_ORACLE,
     "pip_rects": _Q_PIP_RECTS_ORACLE,
     "sessionization": _Q_SESSION_ORACLE,
+    "tag_stats_by_kind": _Q_TAGKIND_ORACLE,
 }

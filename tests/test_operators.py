@@ -407,3 +407,25 @@ class TestRecursiveRelations:
         assert out.loc[200, "min_ilat"] == min(n3[0], n7[0])
         assert out.loc[200, "max_ilat"] == max(n3[0], n7[0])
         assert out.loc[200, "min_ilon"] == min(n3[1], n7[1])
+
+
+@pytest.mark.spark
+class TestSkewedJoin:
+    def test_hot_node_resolves_correctly(self, spark):
+        """Skew correctness: thousands of ways all referencing one hot node
+        (city-center pattern). AQE skew-split may repartition; results must
+        be exact regardless."""
+        nodes = spark.createDataFrame(
+            [(1, 100, 200), (2, -5, 7)], schema="id bigint, ilat int, ilon int"
+        )
+        ways = spark.createDataFrame(
+            [(w, [1, 2, 1]) for w in range(3000)], schema="id bigint, refs array<bigint>"
+        )
+        res = resolve_ways(ways, nodes, keep_tags=False)
+        out = res.toPandas()
+        assert len(out) == 3000
+        assert (out["n_resolved"] == 3).all()
+        sample = out.iloc[0]["nodes"]
+        assert [(x["id"], x["ilat"]) for x in sample] == [(1, 100), (2, -5), (1, 100)]
+        # duplicate refs resolve positionally, mid over all three entries
+        assert (out["mid_ilat"] == int((100 - 5 + 100) / 3)).all()
