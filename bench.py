@@ -163,6 +163,8 @@ def main():
             "pricing_summary", "ways_nodes_join", "way_bbox", "relation_members",
             "tile_counts_z8", "heat_map", "tile_pyramid", "knn", "embedding_topk",
             "minhash_pairs", "exact_dedup", "token_counts", "point_in_polygon",
+            "sessionization", "tag_stats_by_kind", "knn_multi_tile", "pip_rects",
+            "simhash_hamming_pairs",
         ]
         for name in subset:
             t0 = time.time()

@@ -96,14 +96,28 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.8, min_common: int = 1,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= min_common
-    shingles. Inverted-index join; scale guard: very frequent shingles can
-    be capped upstream (stopword shingles explode candidate counts)."""
+    shingles (inverted-index join).
+
+    Scale guard: ``max_doc_freq`` drops shingles appearing in more than
+    that many docs from CANDIDATE GENERATION only (stop-shingles produce
+    O(df^2) pairs); sizes still count every shingle, so the jaccard value
+    of surviving pairs is exact -- only recall on pairs related solely
+    through ultra-common shingles is traded away."""
     sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "sh")
-    b = sh.select(F.col(id_col).alias("b"), "sh")
+    cand_sh = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        cand_sh = sh.join(rare, "sh", "left_semi")
+    a = cand_sh.select(F.col(id_col).alias("a"), "sh")
+    b = cand_sh.select(F.col(id_col).alias("b"), "sh")
     common = (
         a.join(b, "sh").filter(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
