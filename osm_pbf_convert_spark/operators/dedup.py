@@ -53,9 +53,13 @@ def minhash_signatures(
     seed. One explode + one groupBy with num_hashes min() aggregates."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
-    )
+    ).withColumn("h0", F.xxhash64("sh"))
+    # hash the STRING once; derive the permutation family by re-hashing the
+    # fixed-width long (8-byte xxhash64 is ~free next to string hashing;
+    # affine mod-2^64 mixing would be cheaper still but ANSI mode rejects
+    # the intentional overflow)
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
@@ -134,6 +138,41 @@ def ngram_jaccard_pairs(
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, token_pattern: str = r"\s+",
+) -> DataFrame:
+    """(id, simhash long) via explode + ONE groupBy with 64 conditional
+    sums -- each token is hashed once (simhash_col as a single Column
+    expression re-evaluates the token array per bit; use this for bulk)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), token_pattern), lambda t: t != "")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    acc = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = bit if acc is None else acc.bitwiseOR(bit)
+    sig = sums.select(F.col(id_col), acc.alias("simhash"))
+    # docs with zero tokens never reach the groupBy: give them simhash 0
+    # (matches simhash_col, where the empty aggregate yields all bit_sum=0)
+    empties = df.join(sig.select(id_col), id_col, "left_anti").select(
+        F.col(id_col), F.lit(0).cast("long").alias("simhash")
+    )
+    return sig.unionByName(empties)
+
+
 def simhash_col(text, bits: int = 64, token_pattern: str = r"\s+"):
     """64-bit SimHash as a LongType column, fully JVM-side:
     tokens -> xxhash64 -> per-bit majority via conditional sums."""
@@ -164,7 +203,7 @@ def simhash_hamming_pairs(
     """
     b = bands or (max_hamming + 1)
     width = 64 // b
-    s = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    s = simhash_signatures(df, id_col, text_col)
     chunk_arr = F.array(
         *[
             F.struct(
@@ -194,7 +233,7 @@ def simhash_hamming_pairs(
 def simhash_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of docs with IDENTICAL simhash (near-dup at hamming 0); for
     hamming <= d banding, split the 64 bits into d+1 chunks upstream."""
-    s = df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
+    s = simhash_signatures(df, id_col, text_col)
     return (
         s.groupBy("simhash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("n"))
