@@ -94,3 +94,24 @@ def rasterize_tiles(tile_df: DataFrame, z: int) -> DataFrame:
         compact(F.col("tile"), 0).alias("x"),
         "cnt",
     )
+
+
+def export_heat_map_bytes(heat_df, rows: int = 16384, cols: int = 32768) -> bytes:
+    """Serialize a heat-map count grid in the REFERENCE'S binary format:
+    MSB-first 7-bit varint per cell, row-major, zeros included
+    (``HeatMapProcessor.Finish``: Write7BitEncodedInt over int[16384,32768]).
+
+    Driver-side materialization of the (sparse) aggregate into the dense
+    dump -- intended for bounded grids / cropped regions; the full global
+    grid at reference dimensions is a ~0.5 GB artifact and should go
+    through a partitioned sink instead. Kept as the byte-format parity
+    bridge to the reference's `.heat.map` files.
+    """
+    import numpy as np
+
+    from osm_pbf_convert_spark.codecs import encode_varints_msb
+
+    pdf = heat_df.toPandas()
+    grid = np.zeros((rows, cols), dtype=np.int64)
+    grid[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["cnt"].to_numpy()
+    return encode_varints_msb(grid.ravel().tolist())

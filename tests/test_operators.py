@@ -429,3 +429,24 @@ class TestSkewedJoin:
         assert [(x["id"], x["ilat"]) for x in sample] == [(1, 100), (2, -5), (1, 100)]
         # duplicate refs resolve positionally, mid over all three entries
         assert (out["mid_ilat"] == int((100 - 5 + 100) / 3)).all()
+
+
+@pytest.mark.spark
+class TestHeatMapExport:
+    def test_reference_binary_format(self, spark):
+        """Byte-format parity with HeatMapProcessor.Finish: MSB-first 7-bit
+        varints, row-major, zeros included."""
+        from osm_pbf_convert_spark.codecs import decode_varints_msb
+        from osm_pbf_convert_spark.operators.tiling import export_heat_map_bytes
+
+        counts = spark.createDataFrame(
+            pd.DataFrame({"row": [0, 1, 3], "col": [0, 2, 1], "cnt": [5, 200, 1]})
+        )
+        blob = export_heat_map_bytes(counts, rows=4, cols=4)
+        back = decode_varints_msb(blob)
+        assert len(back) == 16
+        grid = np.asarray(back, dtype=np.int64).reshape(4, 4)
+        assert grid[0, 0] == 5 and grid[1, 2] == 200 and grid[3, 1] == 1
+        assert grid.sum() == 206
+        # 200 needs two varint bytes, zeros one each -> exact length check
+        assert len(blob) == 15 + 2
