@@ -58,8 +58,9 @@ def main():
 
     # stage 1 (resumable): decode entities per partition
     def decode_stage(pend):
-        out = decode_entities(pend, passthrough=("url", "partition_id"))
-        return out
+        # production policy: corrupt payloads are skipped (counted via
+        # per-partition row deltas in the checkpoint metrics), not fatal
+        return decode_entities(pend, passthrough=("url", "partition_id"), on_error="skip")
 
     n = run_with_checkpoint(
         spark, pages, decode_stage, f"{args.out}/entities", table, f"{args.job_id}-decode"

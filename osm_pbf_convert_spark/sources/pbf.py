@@ -114,6 +114,7 @@ class DecodedPayload:
     relations: DecodedRelations = field(default_factory=DecodedRelations)
     n_blobs: int = 0
     n_data_blobs: int = 0
+    n_bad_payloads: int = 0
 
 
 def _decode_string_table(mv, span) -> np.ndarray:
@@ -390,6 +391,24 @@ def parse_payload(payload: bytes, want=("nodes", "ways", "relations")) -> Decode
     return out
 
 
+
+def _safe_parse(buf, want, on_error: str):
+    """parse_payload with corruption policy: 'raise' preserves reference
+    parity (the C# reference crashes on malformed blobs); 'skip' is the
+    100 TB production mode -- a corrupt payload yields zero entities and
+    bumps a counter the caller can surface as a checkpoint metric."""
+    try:
+        return parse_payload(buf, want=want)
+    except NotImplementedError:
+        raise  # unsupported-but-valid features should stay loud
+    except Exception:
+        if on_error == "raise":
+            raise
+        p = DecodedPayload()
+        p.n_bad_payloads = 1
+        return p
+
+
 # ---------------------------------------------------------------------------
 # Spark layer: mapInArrow wrappers
 # ---------------------------------------------------------------------------
@@ -446,7 +465,7 @@ def _passthrough_take(batch: pa.RecordBatch, cols: list[str], repeats: np.ndarra
     return [batch.column(c).take(idx) for c in cols]
 
 
-def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
     """pages -> nodes(passthrough..., id, lat, lon, ilat, ilon, tags).
 
     ilat/ilon are the reference's exact int32 quantization
@@ -464,7 +483,7 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     def fn(batches):
         for batch in batches:
             per_row: list[DecodedPayload] = [
-                parse_payload(buf, want=("nodes",))
+                _safe_parse(buf, ("nodes",), on_error)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -494,7 +513,7 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     return in_df.mapInArrow(fn, out_schema)
 
 
-def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
     """ONE decode pass over the payloads emitting every entity kind in a
     tall union schema: kind 0=node, 1=way, 2=relation; node columns null on
     way rows and vice versa. Use when a pipeline consumes nodes AND ways
@@ -516,7 +535,8 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
     def fn(batches):
         for batch in batches:
             per_row = [
-                parse_payload(buf) for buf in _iter_binary(batch.column(payload_col))
+                _safe_parse(buf, ("nodes", "ways", "relations"), on_error)
+                for buf in _iter_binary(batch.column(payload_col))
             ]
             n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
             n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -620,7 +640,7 @@ def _mask_list(arr: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
     )
 
 
-def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
     pcols = list(passthrough)
     in_df = df.select(*pcols, payload_col)
     schema_fields = [in_df.schema[c] for c in pcols]
@@ -632,7 +652,7 @@ def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = (
     def fn(batches):
         for batch in batches:
             per_row = [
-                parse_payload(buf, want=("ways",))
+                _safe_parse(buf, ("ways",), on_error)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -661,7 +681,7 @@ def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = (
     return in_df.mapInArrow(fn, out_schema)
 
 
-def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",)) -> DataFrame:
+def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
     pcols = list(passthrough)
     in_df = df.select(*pcols, payload_col)
     schema_fields = [in_df.schema[c] for c in pcols]
@@ -675,7 +695,7 @@ def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tupl
     def fn(batches):
         for batch in batches:
             per_row = [
-                parse_payload(buf, want=("relations",))
+                _safe_parse(buf, ("relations",), on_error)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))

@@ -116,3 +116,30 @@ class TestDecodeEntities:
         # node rows have null refs/members; way rows have null lat/members
         assert en["refs"].isna().all() and en["members"].isna().all()
         assert ew["members"].isna().all()
+
+
+@pytest.mark.spark
+class TestCorruptPayloads:
+    def test_default_raises_like_reference(self, spark):
+        bad = spark.createDataFrame(
+            pd.DataFrame({"url": ["u1"], "html": [b"\x00\x00\x00\x04garbage-bytes"]})
+        )
+        with pytest.raises(Exception):
+            decode_nodes(bad).collect()
+
+    def test_skip_mode_survives_corruption(self, spark, pages_df):
+        """on_error='skip': corrupt rows yield zero entities, healthy rows
+        decode normally -- the 100TB production policy."""
+        import pandas as pd
+
+        bad = spark.createDataFrame(
+            pd.DataFrame({"url": ["bad1", "bad2"], "html": [b"\x00\x00\x00\x09corrupted!!", b"\xff" * 40]})
+        )
+        mixed = pages_df.select("url", "html").unionByName(bad)
+        nodes = decode_nodes(mixed, on_error="skip").toPandas()
+        assert len(nodes) == 40  # all healthy pages decoded
+        assert not nodes["url"].str.startswith("bad").any()
+        from osm_pbf_convert_spark.sources.pbf import decode_entities
+
+        ents = decode_entities(mixed, on_error="skip")
+        assert ents.count() > 0
