@@ -57,15 +57,28 @@ def main():
     )
 
     # stage 1 (resumable): decode entities per partition
+    bad_acc = spark.sparkContext.accumulator(0)
+
     def decode_stage(pend):
-        # production policy: corrupt payloads are skipped (counted via
-        # per-partition row deltas in the checkpoint metrics), not fatal
-        return decode_entities(pend, passthrough=("url", "partition_id"), on_error="skip")
+        # production policy: corrupt payloads are skipped, not fatal; each
+        # skip bumps the accumulator so corruption is distinguishable from
+        # legitimately empty payloads and lands in the checkpoint metrics
+        return decode_entities(
+            pend, passthrough=("url", "partition_id"), on_error="skip", bad_counter=bad_acc
+        )
 
     n = run_with_checkpoint(
         spark, pages, decode_stage, f"{args.out}/entities", table, f"{args.job_id}-decode"
     )
-    print(f"decode: committed {n} partitions")
+    print(f"decode: committed {n} partitions, {bad_acc.value} corrupt payloads skipped")
+    if n:
+        # job-level corruption metric (partition_id = -1): accumulator totals
+        # are batch-scoped, so record alongside the batch's lineage rows
+        metric = spark.createDataFrame(
+            [(-1, 0, "n_bad_payloads", float(bad_acc.value))],
+            schema="partition_id bigint, n_rows bigint, metric_name string, metric_value double",
+        )
+        table.commit(spark, f"{args.job_id}-decode", metric)
 
     # stage 2 (derived, idempotent overwrite): joins + tiles from the
     # materialized entities table

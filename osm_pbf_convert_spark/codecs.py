@@ -63,6 +63,8 @@ def _decode_varints_small(b) -> np.ndarray:
             shift = 0
         else:
             shift += 7
+            if shift > 63:  # >10-byte group: corrupt (uint64 max)
+                raise ValueError("varint group longer than 10 bytes (corrupt stream)")
     if shift:
         raise ValueError("truncated varint stream")
     return np.array(out, dtype=np.uint64)
@@ -95,6 +97,11 @@ def decode_varints(buf: bytes | np.ndarray) -> np.ndarray:
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
+    # a uint64 varint is at most 10 bytes; longer groups would produce
+    # shifts >= 64, which numpy leaves undefined (x86: mod 64) -> silently
+    # wrong values. Raise so the corruption policy (on_error) can count it.
+    if int((ends - starts).max()) > 9:
+        raise ValueError("varint group longer than 10 bytes (corrupt stream)")
     # byte position within its own varint = index - start-of-group
     group_start = np.repeat(starts, ends - starts + 1)
     shifts = ((np.arange(b.size, dtype=np.int64) - group_start) * 7).astype(np.uint64)

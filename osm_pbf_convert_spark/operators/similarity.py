@@ -11,8 +11,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -78,22 +80,33 @@ def train_centroids(
     return cents
 
 
-def _nearest_cells_expr(vec, cents: np.ndarray, nprobe: int):
-    """Array of the nprobe nearest centroid ids, pure column expressions
-    (distance per centroid unrolled at plan time; fine for <= a few
-    hundred centroids)."""
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    return F.slice(F.transform(F.sort_array(F.array(*dists)), lambda s: s["cell"]), 1, nprobe)
+def _nearest_cells_udf(spark: SparkSession, cents: np.ndarray, nprobe: int):
+    """Vectorized (Arrow-batched) nearest-centroid assignment against a
+    BROADCAST centroid matrix: one numpy matmul per batch, plan size
+    independent of ncells (the centroid-per-literal unrolling capped the
+    old plan at a few hundred cells; 100 TB corpora need sqrt(N) ~ 1e4-1e5
+    cells). Ties break by cell id, matching sort by (distance, cell)."""
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(cents, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        C = bc.value  # (ncells, dim)
+        p = min(nprobe, C.shape[0])
+        X = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # squared euclid up to the |x|^2 constant (rank-invariant per row)
+        d = X @ (-2.0 * C.T) + (C * C).sum(1)[None, :]
+        if C.shape[0] > max(64, 8 * p):
+            cth = min(C.shape[0], 8 * p)
+            part = np.argpartition(d, cth - 1, axis=1)[:, :cth]
+            dv = np.take_along_axis(d, part, axis=1)
+            order = np.lexsort((part, dv), axis=1)[:, :p]
+            idx = np.take_along_axis(part, order, axis=1)
+        else:
+            # stable argsort of d breaks ties by cell id (array is in cell order)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return nearest
 
 
 def ivf_topk(
@@ -112,14 +125,16 @@ def ivf_topk(
     centroid cell once; queries probe nprobe cells; exact cosine within."""
     if centroids is None:
         centroids = train_centroids(vectors, ncells, vec_col)
-    vcast = F.col(vec_col).cast("array<double>")
+    spark = vectors.sparkSession
+    assign1 = _nearest_cells_udf(spark, centroids, 1)
+    probe = _nearest_cells_udf(spark, centroids, nprobe)
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
-        _nearest_cells_expr(vcast, centroids, 1)[0].alias("cell"),
+        assign1(F.col(vec_col))[0].alias("cell"),
     )
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col),
-        F.explode(_nearest_cells_expr(F.col(query_vec_col).cast("array<double>"), centroids, nprobe)).alias("cell"),
+        F.explode(probe(F.col(query_vec_col))).alias("cell"),
     )
     cand = v.join(q, "cell")
     scored = cand.withColumn(

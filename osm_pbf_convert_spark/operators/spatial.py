@@ -83,6 +83,43 @@ def _ray_cast(ilat: np.ndarray, ilon: np.ndarray, ring_lat: np.ndarray, ring_lon
     return inside
 
 
+def _segments_hit_rects(
+    ring_lat: np.ndarray, ring_lon: np.ndarray,
+    lat_lo: np.ndarray, lat_hi: np.ndarray, lon_lo: np.ndarray, lon_hi: np.ndarray,
+) -> np.ndarray:
+    """True per rect when ANY ring segment intersects it.
+
+    Exact test per (segment, rect): the segment's AABB overlaps the rect AND
+    the 4 rect corners are not all strictly on one side of the segment's
+    supporting line. Cross products run in float64 (coords are int32, the
+    product can need >53 bits), so "strictly one side" uses a conservative
+    eps: near-degenerate cases fall back to EDGE, never to a false FULL."""
+    hit = np.zeros(len(lat_lo), dtype=bool)
+    eps = 1 << 16  # quantized-unit^2 slack vs float64 rounding of ~2^64 products
+    n = len(ring_lat)
+    for i in range(n):
+        y1, x1 = float(ring_lat[i]), float(ring_lon[i])
+        y2, x2 = float(ring_lat[(i + 1) % n]), float(ring_lon[(i + 1) % n])
+        aabb = (
+            (max(x1, x2) >= lon_lo) & (min(x1, x2) <= lon_hi)
+            & (max(y1, y2) >= lat_lo) & (min(y1, y2) <= lat_hi)
+        )
+        if not aabb.any():
+            continue
+        dx, dy = x2 - x1, y2 - y1
+        crosses = [
+            dx * (la - y1) - dy * (lo - x1)
+            for la, lo in ((lat_lo, lon_lo), (lat_lo, lon_hi), (lat_hi, lon_lo), (lat_hi, lon_hi))
+        ]
+        pos = np.ones(len(lat_lo), dtype=bool)
+        neg = np.ones(len(lat_lo), dtype=bool)
+        for c in crosses:
+            pos &= c > eps
+            neg &= c < -eps
+        hit |= aabb & ~(pos | neg)
+    return hit
+
+
 @dataclass
 class CompiledPolygons:
     """Driver-compiled, broadcastable PIP index at one zoom level.
@@ -163,17 +200,18 @@ def compile_polygons(polygons: list[tuple[int, list[tuple[float, float]]]], z: i
         lat_lo = gy * size - 2**31
         lon_hi = lon_lo + size - 1
         lat_hi = lat_lo + size - 1
-        # classify: all 4 corners + center inside -> candidate FULL, unless a
-        # ring vertex falls inside the tile (concavity may dip in)
+        # classify: all 4 corners + center inside -> candidate FULL, unless
+        # any ring SEGMENT intersects the tile rect (a vertex-only test
+        # misses thin concave slits whose segments cross a tile with both
+        # endpoints outside it -> false FULL -> PIP false positives)
         corners_inside = np.ones(len(gx), dtype=bool)
         for la, lo in ((lat_lo, lon_lo), (lat_lo, lon_hi), (lat_hi, lon_lo), (lat_hi, lon_hi),
                        ((lat_lo + lat_hi) // 2, (lon_lo + lon_hi) // 2)):
             corners_inside &= _ray_cast(la, lo, rings[pid][0], rings[pid][1])
-        rl, rn = rings[pid]
-        vert_in_tile = np.zeros(len(gx), dtype=bool)
-        for vlat, vlon in zip(rl, rn):
-            vert_in_tile |= (vlat >= lat_lo) & (vlat <= lat_hi) & (vlon >= lon_lo) & (vlon <= lon_hi)
-        full = corners_inside & ~vert_in_tile
+        boundary_hit = _segments_hit_rects(
+            rings[pid][0], rings[pid][1], lat_lo, lat_hi, lon_lo, lon_hi
+        )
+        full = corners_inside & ~boundary_hit
         for t, f in zip(tile_ids.tolist(), full.tolist()):
             tile_map.setdefault(t, []).append((pid, f))
 

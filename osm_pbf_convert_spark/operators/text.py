@@ -96,16 +96,25 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                shingle_k: int = 8, bottom_k: int = 8) -> DataFrame:
-    """Bottom-k sketch fingerprint: the k smallest xxhash64 values over
-    character shingles, hashed into one 64-bit id. Rolling-hash analog
-    computed as substrings + xxhash64 (JVM); equal fingerprints => highly
-    likely near-identical prefixes of content."""
+                shingle_k: int = 8, bottom_k: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest shingle hashes combined
+    into one fingerprint. Rolling-hash analog computed as substrings +
+    hash (JVM); equal fingerprints => highly likely near-identical content.
+
+    hash_fn: "xxhash64" (production default: fastest JVM hash, fingerprint
+    is a long) or "md5" (fingerprint is a hex string; bit-identical in
+    DuckDB, used by the correctness oracle)."""
     from osm_pbf_convert_spark.operators.dedup import shingles_col
 
-    hashes = F.transform(shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s))
-    bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
-    return df.withColumn(
-        "fingerprint",
-        F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))),
-    )
+    sh = shingles_col(F.col(text_col), shingle_k)
+    if hash_fn == "xxhash64":
+        hashes = F.transform(sh, lambda s: F.xxhash64(s))
+        bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
+        fp = F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string"))))
+    elif hash_fn == "md5":
+        hashes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
+        bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
+        fp = F.md5(F.concat_ws(",", bottom).cast("binary"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return df.withColumn("fingerprint", fp)

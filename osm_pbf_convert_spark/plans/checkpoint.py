@@ -44,9 +44,21 @@ class CheckpointTable:
         self.path = path
 
     def _exists(self, spark: SparkSession) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        """Probe through the Hadoop FileSystem API so the checkpoint works
+        on any supported scheme (s3a://, hdfs://, file://) -- a driver-local
+        os.path probe on an object-store path would silently report "no
+        checkpoint" and resume would reprocess every partition."""
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hconf = jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            return False
+        for st in fs.listStatus(path):
+            if st.getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def read(self, spark: SparkSession) -> DataFrame:
         if not self._exists(spark):

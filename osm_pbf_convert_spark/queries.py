@@ -423,6 +423,104 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# tag dictionary encode (#14) -- OSM-pbf-convert/TagsConverter.cs:40-110
+# ---------------------------------------------------------------------------
+#
+# Exercises every level of the 3-tier dictionary: stoplist filter, exact
+# (key,value) -> TagId in the kind dict, exact in the generic dict,
+# key -> KeyId keeping the value, and DROP-if-unknown. The oracle replays
+# the same decision chain as DuckDB CASE expressions generated from the
+# SAME data/tags_map.json, so the two sides cannot drift.
+
+_TAGS_MAP_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "tags_map.json"
+)
+
+# idx = o_orderkey % 8 selects the variable pos-0 tag; pos-1 is always
+# maxspeed=<id%50> (key-dict hit, value kept).
+_TDE_KEYS = ["amenity", "oneway", "name", "created_by", "randomkey", "highway", "brand", "amenity"]
+_TDE_VALS = ["cafe", "yes", None, "josm", "zz", "bus_stop", "acme", "fountain"]  # None -> 'name_'||id
+
+
+def q_tag_dict_encode(spark, sf_dir):
+    from osm_pbf_convert_spark.operators.tags import TagDictionary
+
+    td = TagDictionary.load(_TAGS_MAP_PATH)
+    o = _t(spark, sf_dir, "orders")
+    idx = F.pmod(F.col("o_orderkey"), F.lit(8))
+    key0 = F.element_at(F.array(*[F.lit(k) for k in _TDE_KEYS]), (idx + 1).cast("int"))
+    val_arr = F.array(*[
+        F.lit(v) if v is not None else F.concat(F.lit("name_"), F.col("o_orderkey").cast("string"))
+        for v in _TDE_VALS
+    ])
+    val0 = F.element_at(val_arr, (idx + 1).cast("int"))
+    tagged = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.map_from_arrays(
+            F.array(key0, F.lit("maxspeed")),
+            F.array(val0, F.pmod(F.col("o_orderkey"), F.lit(50)).cast("string")),
+        ).alias("tags"),
+    )
+    out = td.encode(spark, tagged, kind="node")
+    return out.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tag_id").cast("long").alias("tag_id"),
+        F.col("key_id").cast("long").alias("key_id"),
+        "value",
+    )
+
+
+def _tde_oracle() -> str:
+    import json
+
+    with open(_TAGS_MAP_PATH) as f:
+        s = json.load(f)
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    def pair_case(entries) -> str:
+        whens = " ".join(
+            f"WHEN key = '{esc(e['Key'])}' AND value = '{esc(e['Value'])}' THEN {e['TagId']}"
+            for e in entries
+        )
+        return f"CASE {whens} END" if whens else "CAST(NULL AS INTEGER)"
+
+    key_case = "CASE key " + " ".join(
+        f"WHEN '{esc(k)}' THEN {v}" for k, v in s["KeyCodes"].items()
+    ) + " END"
+    stop = ", ".join(f"'{esc(k)}'" for k in s["KeyStopList"])
+    key0 = "CASE idx " + " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(_TDE_KEYS)) + " END"
+    val0 = "CASE idx " + " ".join(
+        f"WHEN {i} THEN " + (f"'{v}'" if v is not None else "'name_' || CAST(id AS VARCHAR)")
+        for i, v in enumerate(_TDE_VALS)
+    ) + " END"
+    return f"""
+WITH base AS (SELECT o_orderkey AS id, o_orderkey % 8 AS idx FROM orders),
+exploded AS (
+  SELECT id, 0 AS pos, {key0} AS key, {val0} AS value FROM base
+  UNION ALL
+  SELECT id, 1, 'maxspeed', CAST(id % 50 AS VARCHAR) FROM base
+),
+filtered AS (SELECT * FROM exploded WHERE key NOT IN ({stop})),
+coded AS (
+  SELECT id, pos, key, value,
+         COALESCE({pair_case(s['NodeTagCodes'])}, {pair_case(s['TagCodes'])}) AS tag_id,
+         {key_case} AS key_id
+  FROM filtered
+)
+SELECT id, CAST(pos AS BIGINT) AS pos, CAST(tag_id AS BIGINT) AS tag_id,
+       CAST(CASE WHEN tag_id IS NULL THEN key_id END AS BIGINT) AS key_id,
+       CASE WHEN tag_id IS NULL THEN value END AS value
+FROM coded WHERE tag_id IS NOT NULL OR key_id IS NOT NULL
+"""
+
+
+_Q_TAG_DICT_ORACLE = _tde_oracle()
+
+
+# ---------------------------------------------------------------------------
 # tag key stats (#22), top-k (#24), inverted index (#25)
 # ---------------------------------------------------------------------------
 
@@ -645,7 +743,8 @@ sess AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
   FROM marked
 )
-SELECT user_id, sess, COUNT(*) AS n_events, MIN(t) AS t_start, MAX(t) AS t_end
+SELECT user_id, CAST(sess AS BIGINT) AS sess, COUNT(*) AS n_events,
+       MIN(t) AS t_start, MAX(t) AS t_end
 FROM sess GROUP BY user_id, sess
 """
 
@@ -816,7 +915,8 @@ def q_simhash_hamming_pairs(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6, min_common=5
+        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6, min_common=5,
+        max_doc_freq=1000,
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -824,14 +924,104 @@ def q_lang_id(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
 
+def _lang_oracle() -> str:
+    """Replays lang_id in DuckDB: per-language distinct-stopword hit counts
+    (list_intersect == Spark array_intersect set semantics; RE2 and Java
+    both treat \\W as ASCII), argmax by (hits, code) DESCENDING -- matching
+    Spark's sort_array(desc) on (hits, code) structs -- then the script
+    overrides."""
+    hit_exprs = []
+    for code, sw in sorted(text.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hit_exprs.append(f"len(list_intersect(words, [{lst}])) AS h_{code}")
+    codes_desc = [c for c, _ in sorted(text.STOPWORDS.items(), reverse=True)]
+    best_code = "CASE " + " ".join(
+        f"WHEN h_{c} = bh THEN '{c}'" for c in codes_desc[:-1]
+    ) + f" ELSE '{codes_desc[-1]}' END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x != '')) AS words
+  FROM documents
+),
+h0 AS (SELECT doc_id, text, {', '.join(hit_exprs)} FROM w),
+h AS (
+  SELECT *, greatest({', '.join('h_' + c for c, _ in sorted(text.STOPWORDS.items()))}) AS bh
+  FROM h0
+),
+s AS (
+  SELECT doc_id, bh, {best_code} AS bc,
+         len(regexp_extract_all(text, '[぀-ヿ一-鿿]')) AS cjk,
+         len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS cyr,
+         greatest(length(text), 1) AS n_chars
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN cjk / n_chars > 0.1 THEN 'ja'
+            WHEN cyr / n_chars > 0.3 AND bh = 0 THEN 'uk'
+            WHEN bh > 0 THEN bc
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+_Q_LANG_ORACLE = _lang_oracle()
+
+
 def q_quality(spark, sf_dir):
     return text.quality_features(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens_ws", F.round("quality_score", 6).alias("quality_score")
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.round("quality_score", 6).alias("quality_score"),
     )
 
 
+_Q_QUALITY_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS ws,
+         len(regexp_extract_all(text, '[\.,;:!\?"''\(\)\[\]]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x != '') AS words
+  FROM documents
+),
+r AS (
+  SELECT doc_id, ws,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(list_intersect(words, ['the','and','of','to','in','is','that','it','was','for','with','as','his','on','be'])) / len(words)
+              ELSE 0.0 END AS stopword_ratio
+  FROM f
+)
+SELECT doc_id, CAST(ws AS BIGINT) AS n_tokens_ws,
+       ROUND(CASE WHEN ws = 0 THEN 0.0 ELSE
+         least(ws / 100.0, 1.0) * 0.4
+         + (1.0 - least(punct_ratio * 5, 1.0)) * 0.2
+         + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2
+         + least(stopword_ratio * 10, 1.0) * 0.2
+       END, 6) AS quality_score
+FROM r
+"""
+
+
 def q_fingerprint(spark, sf_dir):
-    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    # md5 variant: bit-identical in DuckDB (xxhash64 -- the production
+    # default -- has no DuckDB counterpart, so the oracle runs this one)
+    return text.fingerprint(_t(spark, sf_dir, "documents"), hash_fn="md5").select(
+        "doc_id", "fingerprint"
+    )
+
+
+_Q_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  md5(COALESCE(array_to_string(
+    list_sort([md5(s) FOR s IN list_distinct(
+        [substr(lower(text), i, 8) FOR i IN generate_series(1, greatest(length(text) - 7, 0))]
+    )])[1:8], ','), '')) AS fingerprint
+FROM documents
+"""
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -947,6 +1137,43 @@ def q_pip_rects(spark, sf_dir):
     return spatial.assign_polygons(spark, pts, idx).select("id", "polygon_id")
 
 
+def _pip_oracle() -> str:
+    """Exact closed-form oracle for the general PIP query: replays the
+    engine's even-odd ray cast ((y1 > y) != (y2 > y), x < x-intersection)
+    edge by edge as SQL over the SAME quantized ring constants. Every
+    arithmetic step mirrors the numpy float64 evaluation order in
+    spatial._ray_cast, so the doubles are bit-identical; horizontal edges
+    (y1 == y2) are skipped -- their crossing condition is always false."""
+    import numpy as _np
+
+    from osm_pbf_convert_spark.functions.cells import quantize_np as _q
+
+    selects = []
+    for pid, ring in _POLYGONS:
+        rl = _q(_np.array([p[0] for p in ring])).astype(float)
+        rn = _q(_np.array([p[1] for p in ring])).astype(float)
+        n = len(rl)
+        terms = []
+        for i in range(n):
+            y1, x1 = rl[i], rn[i]
+            y2, x2 = rl[(i + 1) % n], rn[(i + 1) % n]
+            if y1 == y2:
+                continue  # crossing test (y1>y) != (y2>y) is always false
+            xs = f"(({x2 - x1!r} * (CAST(ilat AS DOUBLE) - {y1!r})) / {y2 - y1!r} + {x1!r})"
+            terms.append(
+                f"(CASE WHEN (({y1!r} > ilat) != ({y2!r} > ilat))"
+                f" AND CAST(ilon AS DOUBLE) < {xs} THEN 1 ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT id, CAST({pid} AS BIGINT) AS polygon_id FROM n"
+            f" WHERE ({' + '.join(terms)}) % 2 = 1"
+        )
+    return "WITH n AS ({node_oracle})\n".format(node_oracle=_LI_NODE_ORACLE) + "\nUNION ALL\n".join(selects)
+
+
+_Q_PIP_ORACLE = _pip_oracle()
+
+
 # quantized rect bounds (quantize_np of the _POLYGONS degree corners)
 _Q_PIP_RECTS_ORACLE = f"""
 WITH n AS ({{node_oracle}})
@@ -975,6 +1202,7 @@ QUERIES = {
     "point_in_rect": q_point_in_rect,
     "zone_maps": q_zone_maps,
     "way_classification": q_way_classification,
+    "tag_dict_encode": q_tag_dict_encode,
     "tag_key_stats": q_tag_key_stats,
     "tag_stats_by_kind": q_tag_stats_by_kind,
     "tag_topk": q_tag_topk,
@@ -992,18 +1220,18 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "event_windows": q_event_windows,
     "sessionization": q_sessionization,
-    # rows-only (non-SQL-expressible / heuristic / approximate)
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "point_in_polygon": q_point_in_polygon,
+    "pip_rects": q_pip_rects,
+    # rows-only (xxhash64-based / approximate -- no DuckDB counterpart)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ngram_jaccard": q_ngram_jaccard,
-    "lang_id": q_lang_id,
-    "quality": q_quality,
-    "fingerprint": q_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
-    "point_in_polygon": q_point_in_polygon,
-    "pip_rects": q_pip_rects,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1021,6 +1249,7 @@ ORACLES = {
     "point_in_rect": _Q_RECT_ORACLE,
     "zone_maps": _Q_ZONE_ORACLE,
     "way_classification": _Q_WAYTYPE_ORACLE,
+    "tag_dict_encode": _Q_TAG_DICT_ORACLE,
     "tag_key_stats": _Q_TAGSTATS_ORACLE,
     "tag_topk": _Q_TAGTOPK_ORACLE,
     "inverted_index": _Q_INVIDX_ORACLE,
@@ -1037,6 +1266,10 @@ ORACLES = {
     "heavy_hitters": _Q_HEAVY_ORACLE,
     "event_windows": _Q_EVENTWIN_ORACLE,
     "pip_rects": _Q_PIP_RECTS_ORACLE,
+    "point_in_polygon": _Q_PIP_ORACLE,
+    "lang_id": _Q_LANG_ORACLE,
+    "quality": _Q_QUALITY_ORACLE,
+    "fingerprint": _Q_FINGERPRINT_ORACLE,
     "sessionization": _Q_SESSION_ORACLE,
     "tag_stats_by_kind": _Q_TAGKIND_ORACLE,
 }

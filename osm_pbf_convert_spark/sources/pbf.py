@@ -392,11 +392,14 @@ def parse_payload(payload: bytes, want=("nodes", "ways", "relations")) -> Decode
 
 
 
-def _safe_parse(buf, want, on_error: str):
+def _safe_parse(buf, want, on_error: str, bad_counter=None):
     """parse_payload with corruption policy: 'raise' preserves reference
     parity (the C# reference crashes on malformed blobs); 'skip' is the
-    100 TB production mode -- a corrupt payload yields zero entities and
-    bumps a counter the caller can surface as a checkpoint metric."""
+    100 TB production mode -- a corrupt payload yields zero entities,
+    and when ``bad_counter`` (a SparkContext accumulator) is supplied the
+    skip is COUNTED so corrupt payloads are distinguishable from
+    legitimately empty ones (run_pipeline records it as a checkpoint
+    metric)."""
     try:
         return parse_payload(buf, want=want)
     except NotImplementedError:
@@ -404,6 +407,8 @@ def _safe_parse(buf, want, on_error: str):
     except Exception:
         if on_error == "raise":
             raise
+        if bad_counter is not None:
+            bad_counter.add(1)
         p = DecodedPayload()
         p.n_bad_payloads = 1
         return p
@@ -465,7 +470,7 @@ def _passthrough_take(batch: pa.RecordBatch, cols: list[str], repeats: np.ndarra
     return [batch.column(c).take(idx) for c in cols]
 
 
-def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
+def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
     """pages -> nodes(passthrough..., id, lat, lon, ilat, ilon, tags).
 
     ilat/ilon are the reference's exact int32 quantization
@@ -483,7 +488,7 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     def fn(batches):
         for batch in batches:
             per_row: list[DecodedPayload] = [
-                _safe_parse(buf, ("nodes",), on_error)
+                _safe_parse(buf, ("nodes",), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -513,7 +518,7 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     return in_df.mapInArrow(fn, out_schema)
 
 
-def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
+def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
     """ONE decode pass over the payloads emitting every entity kind in a
     tall union schema: kind 0=node, 1=way, 2=relation; node columns null on
     way rows and vice versa. Use when a pipeline consumes nodes AND ways
@@ -535,7 +540,7 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
     def fn(batches):
         for batch in batches:
             per_row = [
-                _safe_parse(buf, ("nodes", "ways", "relations"), on_error)
+                _safe_parse(buf, ("nodes", "ways", "relations"), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -640,7 +645,7 @@ def _mask_list(arr: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
     )
 
 
-def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
+def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
     pcols = list(passthrough)
     in_df = df.select(*pcols, payload_col)
     schema_fields = [in_df.schema[c] for c in pcols]
@@ -652,7 +657,7 @@ def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = (
     def fn(batches):
         for batch in batches:
             per_row = [
-                _safe_parse(buf, ("ways",), on_error)
+                _safe_parse(buf, ("ways",), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -681,7 +686,7 @@ def decode_ways(df: DataFrame, payload_col: str = "html", passthrough: tuple = (
     return in_df.mapInArrow(fn, out_schema)
 
 
-def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise") -> DataFrame:
+def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
     pcols = list(passthrough)
     in_df = df.select(*pcols, payload_col)
     schema_fields = [in_df.schema[c] for c in pcols]
@@ -695,7 +700,7 @@ def decode_relations(df: DataFrame, payload_col: str = "html", passthrough: tupl
     def fn(batches):
         for batch in batches:
             per_row = [
-                _safe_parse(buf, ("relations",), on_error)
+                _safe_parse(buf, ("relations",), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
             repeats = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))

@@ -143,3 +143,30 @@ class TestCorruptPayloads:
 
         ents = decode_entities(mixed, on_error="skip")
         assert ents.count() > 0
+
+    def test_skip_mode_counts_bad_payloads(self, spark, pages_df):
+        """Corrupt payloads bump the accumulator so they are
+        distinguishable from legitimately empty ones (checkpoint metric)."""
+        import pandas as pd
+
+        bad = spark.createDataFrame(
+            pd.DataFrame({"url": ["bad1", "bad2"], "html": [b"\x00\x00\x00\x09corrupted!!", b"\xff" * 40]})
+        )
+        mixed = pages_df.select("url", "html").unionByName(bad)
+        acc = spark.sparkContext.accumulator(0)
+        decode_nodes(mixed, on_error="skip", bad_counter=acc).count()
+        assert acc.value == 2
+
+    def test_overlong_varint_raises(self):
+        """>10-byte varint groups would shift past 64 bits (undefined in
+        numpy) -- both decode paths must raise instead of silently wrapping."""
+        from osm_pbf_convert_spark.codecs import decode_varints
+
+        bad_group = b"\x80" * 10 + b"\x01"
+        with pytest.raises(ValueError, match="10 bytes"):
+            decode_varints(bad_group)  # small/scalar path
+        with pytest.raises(ValueError, match="10 bytes"):
+            decode_varints(b"\x01" * 100 + bad_group)  # vectorized path
+        # a maximal LEGAL 10-byte varint still decodes on both paths
+        legal = b"\xff" * 9 + b"\x01"
+        assert decode_varints(legal)[0] == decode_varints(b"\x00" * 100 + legal)[-1]

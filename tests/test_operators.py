@@ -261,6 +261,34 @@ class TestSpatial:
         # triangle spans lon 39..41 at lat 9, so (9,40) is inside poly 2
         assert got == {(1, 1), (3, 2), (4, 2), (5, 1)}
 
+    def test_concave_slit_not_full(self, spark):
+        """A thin concave slit crosses tiles with both segment endpoints
+        outside them: vertex-only classification marked those tiles FULL and
+        reported slit points (outside the polygon) as contained. Segment-rect
+        intersection must classify them EDGE -> exact ray-cast -> excluded."""
+        # U-shape: a 20x20 deg square with a narrow slit (width 0.02 deg)
+        # cut from the top edge down to 2 deg above the bottom.
+        slit = [
+            (0.0, 0.0), (20.0, 0.0), (20.0, 9.99),
+            (2.0, 9.99), (2.0, 10.01), (20.0, 10.01),
+            (20.0, 20.0), (0.0, 20.0),
+        ]
+        idx = compile_polygons([(7, slit)], z=6)
+        from osm_pbf_convert_spark.functions.cells import quantize_np
+
+        pts = pd.DataFrame(
+            {
+                "pid": [1, 2, 3],
+                "lat": [10.0, 10.0, 10.0],   # mid-height: slit runs here
+                "lon": [10.0, 5.0, 15.0],    # in-slit, in-left-arm, in-right-arm
+            }
+        )
+        pts["ilat"] = quantize_np(pts["lat"].values)
+        pts["ilon"] = quantize_np(pts["lon"].values)
+        out = assign_polygons(spark, spark.createDataFrame(pts[["pid", "ilat", "ilon"]]), idx).toPandas()
+        got = {(r["pid"], r["polygon_id"]) for _, r in out.iterrows()}
+        assert got == {(2, 7), (3, 7)}  # slit point 1 NOT contained
+
     def test_knn(self, spark):
         # grid of points; queries in the middle; oracle = brute force
         rng = np.random.default_rng(9)

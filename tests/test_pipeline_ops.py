@@ -48,6 +48,32 @@ class TestDedup:
         assert 0.5 <= got[(1, 3)] < 1.0
         assert (4, 5) not in got
 
+    def test_ngram_jaccard_stop_shingle_guard(self, spark):
+        """A shingle shared by d docs generates O(d^2) candidate pairs;
+        max_doc_freq must drop it from candidate generation while keeping
+        jaccard exact for surviving pairs (sizes count every shingle)."""
+        hot = "alpha beta gamma delta epsilon zeta "  # one hot 6-shingle prefix
+        rows = [(i, hot + f"unique{i} token{i} filler{i} pad{i} word{i} end{i}") for i in range(40)]
+        rows += [(100, "totally distinct pair one two three four five six seven"),
+                 (101, "totally distinct pair one two three four five six seven")]
+        df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+        # unguarded: every hot-prefix doc pairs with every other (>=780 pairs share >=1 shingle)
+        cand_unguarded = (
+            df.select("doc_id", F.explode(dedup.shingles_col(F.col("text"), 6)).alias("sh"))
+            .alias("x").join(
+                df.select(F.col("doc_id").alias("b"), F.explode(dedup.shingles_col(F.col("text"), 6)).alias("sh")),
+                "sh")
+            .filter(F.col("doc_id") < F.col("b")).select("doc_id", "b").distinct().count()
+        )
+        assert cand_unguarded >= 780
+
+        # guarded: shingles in >5 docs are dropped from candidate gen
+        out = dedup.ngram_jaccard_pairs(df, shingle_k=6, threshold=0.9, max_doc_freq=5).toPandas()
+        got = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
+        assert (100, 101) in got  # rare-shingle dup still found, jaccard exact
+        assert all(a == 100 for a, _ in got)  # hot-prefix docs produce no pairs at 0.9
+
     def test_simhash_groups(self, docs_df):
         df, _ = docs_df
         groups = dedup.simhash_dedup_groups(df).toPandas()
@@ -140,6 +166,32 @@ class TestSimilarity:
         # self always found (its cell is always probed)
         for qi in range(5):
             assert qi in set(approx[approx["query_id"] == qi]["vec_id"])
+
+    def test_ivf_plan_independent_of_ncells(self, spark, vectors):
+        """Centroids ship as a broadcast variable, not plan literals: the
+        physical plan must not grow with ncells (the old expr-unrolled
+        probe exploded at the 1e4-1e5 cells a 100 TB corpus needs)."""
+        vdf, X = vectors
+        qdf = spark.createDataFrame(
+            [(0, X[0].tolist())], schema="query_id bigint, query_vec array<float>"
+        )
+        plans = {}
+        for nc in (8, 128):
+            cents = np.asarray(X[: min(nc, len(X))], dtype=np.float64)
+            df = similarity.ivf_topk(vdf, qdf, k=3, ncells=nc, nprobe=2, centroids=cents)
+            plans[nc] = df._jdf.queryExecution().executedPlan().toString()
+        assert len(plans[128]) < 1.2 * len(plans[8])
+
+    def test_ivf_many_cells(self, spark, vectors):
+        """ncells larger than the corpus (argpartition path) still returns
+        self as nearest for every query."""
+        vdf, X = vectors
+        qdf = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(4)], schema="query_id bigint, query_vec array<float>"
+        )
+        out = similarity.ivf_topk(vdf, qdf, k=1, ncells=4096, nprobe=3).toPandas()
+        for qi in range(4):
+            assert set(out[out["query_id"] == qi]["vec_id"]) == {qi}
 
 
 @pytest.mark.spark

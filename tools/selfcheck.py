@@ -22,6 +22,24 @@ TABLES = [
 ]
 
 
+def dtype_sig(df: pd.DataFrame) -> dict:
+    """Per-column type signature BEFORE any coercion.  The driver's value
+    hash is type-sensitive (e.g. DuckDB windowed SUM widens BIGINT ->
+    HUGEINT -> decimal128, which hashes differently from Spark's int64
+    even when every value is equal), so the local replica must flag any
+    column whose raw dtype family differs between the two engines."""
+    sig = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k == "O":
+            nonnull = df[c].dropna()
+            k = "O:" + (type(nonnull.iloc[0]).__name__ if len(nonnull) else "empty")
+        elif k in "iu":
+            k = "int"
+        sig[c] = k
+    return sig
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -45,6 +63,10 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWCOUNT {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"COLUMNS {sorted(a.columns)} vs {sorted(b.columns)}"
+    sa, sb = dtype_sig(a[sorted(a.columns)]), dtype_sig(b[sorted(b.columns)])
+    bad_types = {c: (sa[c], sb[c]) for c in sa if sa[c] != sb[c]}
+    if bad_types:
+        return f"DTYPE mismatch (driver hash would differ): {bad_types}"
     ca, cb = canon(a), canon(b)
     if ca.equals(cb):
         return "OK"
