@@ -38,6 +38,58 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _skew_experiment(spark, args):
+    """City-skew analog for the flagship ways⋈nodes join: the same ways
+    table resolved against the same nodes, once with uniformly distributed
+    refs and once with 50% of ALL way-refs pointing at a single hot node
+    id. AQE skew-join (thresholds scaled to the experiment's data volume,
+    as they would be per-executor on a cluster) must keep the skewed run
+    within ~1.3x of uniform wall time.
+    """
+    import pyspark.sql.functions as F
+    from osm_pbf_convert_spark.operators.joins import resolve_ways
+
+    # scale AQE skew thresholds to the experiment volume (defaults assume
+    # 256MB partitions; this experiment's whole hot key is ~100MB)
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", str(4 << 20))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(2 << 20))
+
+    n_nodes, n_ways, refs_per_way = 2_000_000, 400_000, 10
+    nodes = spark.range(n_nodes).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2**31)).cast("int").alias("ilat"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(2**31)).cast("int").alias("ilon"),
+    )
+
+    def mk_ways(hot_share_pct: int):
+        # refs array built elementwise (deterministic pseudo-random per (way, pos))
+        refs = F.transform(
+            F.sequence(F.lit(0), F.lit(refs_per_way - 1)),
+            lambda j: F.when(
+                F.pmod(F.xxhash64("id", j, F.lit(3)), F.lit(100)) < hot_share_pct, F.lit(0)
+            ).otherwise(F.pmod(F.xxhash64("id", j, F.lit(4)), F.lit(n_nodes))),
+        )
+        return spark.range(n_ways).select(F.col("id"), refs.alias("refs"))
+
+    results = {}
+    for tag, pct in (("uniform", 0), ("skewed_50pct_hot", 50)):
+        ways = mk_ways(pct)
+        force(resolve_ways(ways, nodes, keep_tags=False))  # warm
+        best = None
+        for _ in range(max(1, args.iterations)):
+            t0 = time.time()
+            force(resolve_ways(ways, nodes, keep_tags=False))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[tag] = round(best, 3)
+    results["ratio"] = round(results["skewed_50pct_hot"] / results["uniform"], 3)
+    print(json.dumps({
+        "metric": "resolve_ways hot-node skew (AQE skew-join)",
+        "n_nodes": n_nodes, "n_way_refs": n_ways * refs_per_way,
+        "cores": args.cores, "unit": "sec", **results,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -49,7 +101,15 @@ def main():
                     help="repeat the timed pipeline; report the min (contention-free estimate)")
     ap.add_argument("--synth-only", action="store_true",
                     help="materialize the pages input and exit (pre-step for scaling runs)")
+    ap.add_argument("--skew-exp", action="store_true",
+                    help="run the resolve_ways hot-node skew experiment and exit")
+    ap.add_argument("--executors", type=int, default=None,
+                    help="run on local-cluster[E,2,4096]: E separate executor JVMs "
+                         "(own heap/GC/Python workers) -- the faithful N -> 4N "
+                         "executor-scaling mode; overrides --cores (total = 2E)")
     args = ap.parse_args()
+    if args.executors:
+        args.cores = args.executors * 2
 
     from osm_pbf_convert_spark.session import get_spark
     from osm_pbf_convert_spark.sources.pages import synth_pages
@@ -58,24 +118,42 @@ def main():
     from osm_pbf_convert_spark.operators.tiling import heat_map, tile_pyramid
     from osm_pbf_convert_spark import queries as Q
 
+    extra_conf = {"spark.sql.files.maxPartitionBytes": str(1 << 20),
+                  "spark.sql.files.openCostInBytes": str(1 << 20),
+                  # decode writes few fat files (one per core); 16MB row
+                  # groups keep their scans splittable and bound the
+                  # per-task column-chunk footprint on small executors
+                  "spark.hadoop.parquet.block.size": str(16 << 20),
+                  # single-JVM local mode: all executor threads share one
+                  # heap; size it like a real executor fleet would be
+                  "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
+                  # shuffle + intermediates on tmpfs: local-mode stand-in
+                  # for a cluster's per-executor NVMe shuffle dirs
+                  "spark.local.dir": _scratch("local")}
+    if args.executors:
+        # executor Python workers import the package from the repo checkout
+        extra_conf["spark.executorEnv.PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     spark = get_spark(
         "bench",
         cores=args.cores,
-        shuffle_partitions=max(args.cores, 8),
+        # executor mode: small executors (2 cores / 8 GB) need reduce tasks
+        # that FIT -- 32 partitions keeps each join/agg partition spillable
+        # (the cluster-sizing rule: partitions sized to executor memory, not
+        # to total core count)
+        shuffle_partitions=32 if args.executors else max(args.cores, 8),
         # test files are tiny; split them so input parallelism matches the
         # core count (at 100 TB the natural file count does this)
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(1 << 20),
-                    "spark.sql.files.openCostInBytes": str(1 << 20),
-                    # single-JVM local mode: all executor threads share one
-                    # heap; size it like a real executor fleet would be
-                    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
-                    # shuffle + intermediates on tmpfs: local-mode stand-in
-                    # for a cluster's per-executor NVMe shuffle dirs
-                    "spark.local.dir": _scratch("local")},
+        extra_conf=extra_conf,
+        executors=args.executors,
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf = args.sf_dir
     sf_tag = sf.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.skew_exp:
+        _skew_experiment(spark, args)
+        spark.stop()
+        return
 
     # ---- setup (not timed): synthesize + materialize the pages table ----
     # fixed 128-file layout so every parallelism level reads identical input
@@ -123,7 +201,14 @@ def main():
         # scans scale linearly.
         t0 = time.time()
         ent_path = os.path.join(_scratch("entities"), f"sf{sf_tag}_x{args.replicate}_c{args.cores}")
-        decode_entities(pages).write.mode("overwrite").parquet(ent_path)
+        # Python-stage task sizing: a mapInArrow task costs a fixed ~7ms
+        # worker round-trip (measured: identity mapInArrow = 1.10s over 128
+        # tasks vs 0.25s scan-only, while the actual parse is 0.24s) -- at
+        # the test input's tiny file sizes that fixed cost dominates, so
+        # coalesce the scan splits to exactly one task per core. At 100 TB
+        # the same rule is spelled maxPartitionBytes ~ 128-512MB: tasks big
+        # enough that per-task overhead amortizes to noise.
+        decode_entities(pages.coalesce(args.cores)).write.mode("overwrite").parquet(ent_path)
         entities = spark.read.parquet(ent_path)
         nodes = entities.filter(F.col("kind") == 0).select("url", "id", "lat", "lon", "ilat", "ilon", "tags")
         ways = entities.filter(F.col("kind") == 1).select("url", "id", "refs", "tags")
@@ -150,12 +235,13 @@ def main():
         timings["e2e_pages_geo"] = round(time.time() - t0, 3)
 
         e2e = time.time() - t_e2e
+        # count NOW (not timed): the next iteration overwrites the entities
+        # parquet with fresh file names, invalidating this iteration's
+        # DataFrame listings -- a deferred count would hit FileNotFound
+        counts = (nodes.count(), pyr.count())
         if best is None or e2e < best[0]:
-            best = (e2e, timings, nodes, ways, pyr)
-    e2e, timings, nodes, ways, pyr = best
-
-    n_nodes = nodes.count()
-    n_tiles = pyr.count()
+            best = (e2e, timings, counts)
+    e2e, timings, (n_nodes, n_tiles) = best
 
     # ---- timed: representative per-operator queries at this sf ----
     if not args.skip_queries:
@@ -179,6 +265,7 @@ def main():
         "queries": timings,
         "sf": float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag,
         "cores": args.cores,
+        "executors": args.executors,
         "n_docs": n_docs,
         "n_nodes": n_nodes,
         "n_tiles": n_tiles,

@@ -1,0 +1,156 @@
+"""Verb-for-verb CLI facade over the engine, mirroring the reference's
+entry points (``OSM-pbf-convert/Program.cs:34-97``): one verb per
+processor, same names, Spark outputs instead of custom binary files.
+
+    python jobs/cli.py <verb> --pages <pages parquet> --out <output root>
+
+| verb        | reference processor              | output                                    |
+|-------------|----------------------------------|-------------------------------------------|
+| blob-index  | IdsIndexerBlobProcessor          | out/blobs       (per-page id zone maps)   |
+| nodes-index | NodesIndexBlobProcessor          | out/nodes_index (clustered node store)    |
+| join        | NodesToWaysJoinProcessor         | out/ways_resolved                         |
+| heat-map    | HeatMapProcessor                 | out/<name>.heat.map (reference bytes)     |
+| tags        | TagsProcessor                    | out/tags_index  (value -> packed refs)    |
+| tags-stat   | TagStatsProcessor                | out/tags_stat   (key counts + top-k)      |
+| spatial     | SpatialProcessor / SpatialIndex  | out/spatial     (tile-partitioned store)  |
+| ways-file   | WaysFileProcessor                | out/ways        (id, refs, tags)          |
+| merge-rel   | RelationsProcessor               | out/relations   (assembled member rows)   |
+
+The reference's byte-offset resume args (WaysStartOffset /
+RelationsStartOffset, ``Program.cs:24-31``) are superseded by the
+checkpointed pipeline (``jobs/run_pipeline.py --checkpoint``), which
+resumes at logical-partition granularity instead of file offsets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+VERBS = (
+    "blob-index", "nodes-index", "join", "heat-map", "tags", "tags-stat",
+    "spatial", "ways-file", "merge-rel",
+)
+
+
+def _spark(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(f"osm-pbf-convert-spark-{app}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _nodes(spark, pages_path):
+    from osm_pbf_convert_spark.sources.pbf import decode_nodes
+
+    return decode_nodes(spark.read.parquet(pages_path), on_error="skip")
+
+
+def _ways(spark, pages_path):
+    from osm_pbf_convert_spark.sources.pbf import decode_ways
+
+    return decode_ways(spark.read.parquet(pages_path), on_error="skip")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("verb", choices=VERBS)
+    ap.add_argument("--pages", required=True, help="pages table path (binary payload column)")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--zoom", type=int, default=6, help="spatial store tile zoom")
+    ap.add_argument("--top-k", type=int, default=400, help="tags-stat top-k")
+    ap.add_argument("--heat-rows", type=int, default=16384, help="heat grid rows (reference dims)")
+    ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
+    ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
+    args = ap.parse_args()
+
+    spark = _spark(args.verb)
+    out = args.out
+
+    if args.verb == "blob-index":
+        # per-blob id min/max/count zone maps (IdsIndexerBlobProcessor.cs:38-113);
+        # the page url is the blob identity in the pages layout
+        _nodes(spark, args.pages).groupBy("url").agg(
+            F.min("id").alias("min_id"), F.max("id").alias("max_id"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).write.mode("overwrite").parquet(f"{out}/blobs")
+
+    elif args.verb == "nodes-index":
+        # clustered node store (NodesIndex.cs:107-146): bucketed + sorted on
+        # id so point lookups and the ways join read presorted buckets
+        from osm_pbf_convert_spark.plans.partitioning import write_bucketed_nodes
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS cli_out LOCATION '{out}/nodes_index'")
+        spark.catalog.setCurrentDatabase("cli_out")
+        write_bucketed_nodes(_nodes(spark, args.pages).select("id", "ilat", "ilon"), "nodes_index")
+
+    elif args.verb == "join":
+        from osm_pbf_convert_spark.operators.joins import resolve_ways
+
+        resolve_ways(
+            _ways(spark, args.pages).select("id", "refs", "tags"),
+            _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+        ).write.mode("overwrite").parquet(f"{out}/ways_resolved")
+
+    elif args.verb == "heat-map":
+        from osm_pbf_convert_spark.operators.tiling import heat_map, write_heat_map_file
+
+        os.makedirs(out, exist_ok=True)
+        name = os.path.basename(args.pages.rstrip("/"))
+        n = write_heat_map_file(
+            heat_map(_nodes(spark, args.pages)), f"{out}/{name}.heat.map",
+            rows=args.heat_rows, cols=args.heat_cols, band_rows=args.heat_band_rows,
+        )
+        print(f"wrote {n} bytes")
+
+    elif args.verb == "tags":
+        from osm_pbf_convert_spark.operators.tags import inverted_tag_index
+
+        inverted_tag_index(
+            nodes=_nodes(spark, args.pages), ways=_ways(spark, args.pages)
+        ).write.mode("overwrite").parquet(f"{out}/tags_index")
+
+    elif args.verb == "tags-stat":
+        from osm_pbf_convert_spark.operators.tags import tag_key_stats, top_k_tags
+
+        n = _nodes(spark, args.pages)
+        tag_key_stats(n).write.mode("overwrite").parquet(f"{out}/tags_stat/key_counts")
+        top_k_tags(n, k=args.top_k).write.mode("overwrite").parquet(f"{out}/tags_stat/top_k")
+
+    elif args.verb == "spatial":
+        from osm_pbf_convert_spark.plans.partitioning import write_spatial_table
+
+        write_spatial_table(
+            _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+            f"{out}/spatial", z=args.zoom,
+        )
+
+    elif args.verb == "ways-file":
+        _ways(spark, args.pages).select("id", "refs", "tags").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/ways")
+
+    elif args.verb == "merge-rel":
+        from osm_pbf_convert_spark.operators.joins import assemble_relations, resolve_ways
+        from osm_pbf_convert_spark.sources.pbf import decode_relations
+
+        nodes = _nodes(spark, args.pages).select("id", "ilat", "ilon")
+        ways = _ways(spark, args.pages).select("id", "refs", "tags")
+        rels = decode_relations(spark.read.parquet(args.pages), on_error="skip").select(
+            "id", "members"
+        )
+        assemble_relations(rels, nodes, resolve_ways(ways, nodes, keep_tags=False)).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/relations")
+
+    print("Done!")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

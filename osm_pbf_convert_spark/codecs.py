@@ -169,6 +169,32 @@ def encode_varints_msb(values) -> bytes:
     return bytes(out)
 
 
+def encode_varints_msb_np(values: np.ndarray) -> bytes:
+    """Vectorized ``encode_varints_msb``: same bytes, numpy throughput.
+
+    Group counts come from threshold comparisons (exact, no float log);
+    groups are filled most-significant-first with <= 10 vectorized passes.
+    Used by the heat-map band sink, where a band is millions of cells."""
+    v = np.ascontiguousarray(values, dtype=np.uint64).ravel()
+    if v.size == 0:
+        return b""
+    g = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        g += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    offsets = np.cumsum(g)
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    pos = offsets - 1
+    out[pos] = (v & np.uint64(0x7F)).astype(np.uint8)
+    rem = v >> np.uint64(7)
+    mask = rem > 0
+    while mask.any():
+        pos = pos - 1
+        out[pos[mask]] = (np.uint64(0x80) | (rem[mask] & np.uint64(0x7F))).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        mask = rem > 0
+    return out.tobytes()
+
+
 def decode_varints_msb(buf: bytes | np.ndarray) -> np.ndarray:
     """Decode all MSB-first varints: ``res = (res << 7) + (b & 0x7f)`` while
     the continuation bit is set. Vectorized via reversed-shift reduceat."""

@@ -115,3 +115,60 @@ def export_heat_map_bytes(heat_df, rows: int = 16384, cols: int = 32768) -> byte
     grid = np.zeros((rows, cols), dtype=np.int64)
     grid[pdf["row"].to_numpy(), pdf["col"].to_numpy()] = pdf["cnt"].to_numpy()
     return encode_varints_msb(grid.ravel().tolist())
+
+
+def heat_map_bands(
+    heat_df: DataFrame, rows: int = 16384, cols: int = 32768, band_rows: int = 512
+) -> DataFrame:
+    """Distributed encoder for the reference heat-map byte format: the grid
+    is split into ``rows/band_rows`` horizontal bands, each band encoded to
+    its exact byte slice ON AN EXECUTOR (vectorized MSB-varint, zeros
+    included). Returns (band, n_bytes, data binary); concatenating ``data``
+    in band order is byte-equal to ``export_heat_map_bytes`` of the whole
+    grid -- without ever materializing the ~0.5 GB dense dump on the
+    driver (the full-grid scale path the driver-side export is not).
+
+    Empty bands are preserved (all-zero slices) via a range outer-join, so
+    the band set is always complete.
+    """
+    import pandas as pd
+
+    from osm_pbf_convert_spark.codecs import encode_varints_msb_np
+
+    if rows % band_rows:
+        raise ValueError("band_rows must divide rows")
+    n_bands = rows // band_rows
+    spark = heat_df.sparkSession
+    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    cells = heat_df.withColumn("band", (F.col("row") / band_rows).cast("int"))
+    full = bands.join(cells, "band", "left")
+
+    def encode_band(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        band = int(pdf["band"].iloc[0])
+        grid = np.zeros((band_rows, cols), dtype=np.int64)
+        hit = pdf.dropna(subset=["row"])
+        if len(hit):
+            r = hit["row"].to_numpy(np.int64) - band * band_rows
+            grid[r, hit["col"].to_numpy(np.int64)] = hit["cnt"].to_numpy(np.int64)
+        data = encode_varints_msb_np(grid.ravel())
+        return pd.DataFrame({"band": [band], "n_bytes": [len(data)], "data": [data]})
+
+    return full.groupBy("band").applyInPandas(
+        encode_band, schema="band int, n_bytes long, data binary"
+    )
+
+
+def write_heat_map_file(heat_df: DataFrame, out_file: str, rows: int = 16384,
+                        cols: int = 32768, band_rows: int = 512) -> int:
+    """Assemble the reference ``.heat.map`` byte stream: bands encode in
+    parallel on executors; the driver only streams the (already encoded)
+    slices to the file in order. Returns total bytes written."""
+    bands = heat_map_bands(heat_df, rows, cols, band_rows).orderBy("band")
+    total = 0
+    with open(out_file, "wb") as f:
+        for r in bands.toLocalIterator():
+            f.write(r["data"])
+            total += len(r["data"])
+    return total

@@ -920,6 +920,34 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Exact replay of ngram_jaccard_pairs: distinct 6-gram shingles of the
+# lowered text, stop-shingle guard on candidate generation only (sizes
+# count every shingle), inverted-index self-join, jaccard threshold.
+_Q_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [substr(lower(text), i, 6) FOR i IN generate_series(1, greatest(length(text) - 5, 0))]
+         )) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+cand AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+common AS (
+  SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS common
+  FROM cand ca JOIN cand cb USING (sh)
+  WHERE ca.doc_id < cb.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT a, b, ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE common / (sa.sz + sb.sz - common) >= 0.6
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1225,11 +1253,11 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "point_in_polygon": q_point_in_polygon,
     "pip_rects": q_pip_rects,
+    "ngram_jaccard": q_ngram_jaccard,
     # rows-only (xxhash64-based / approximate -- no DuckDB counterpart)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -1267,6 +1295,7 @@ ORACLES = {
     "event_windows": _Q_EVENTWIN_ORACLE,
     "pip_rects": _Q_PIP_RECTS_ORACLE,
     "point_in_polygon": _Q_PIP_ORACLE,
+    "ngram_jaccard": _Q_NGRAM_ORACLE,
     "lang_id": _Q_LANG_ORACLE,
     "quality": _Q_QUALITY_ORACLE,
     "fingerprint": _Q_FINGERPRINT_ORACLE,

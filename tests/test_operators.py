@@ -478,3 +478,45 @@ class TestHeatMapExport:
         assert grid.sum() == 206
         # 200 needs two varint bytes, zeros one each -> exact length check
         assert len(blob) == 15 + 2
+
+    def test_vectorized_msb_encoder_matches_scalar(self):
+        from osm_pbf_convert_spark.codecs import encode_varints_msb, encode_varints_msb_np
+
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            np.zeros(50, np.uint64),
+            rng.integers(0, 2**63 - 1, 200).astype(np.uint64),
+            np.array([0, 1, 127, 128, 2**63 - 1, 2**64 - 1], np.uint64),
+            (np.uint64(1) << np.arange(64, dtype=np.uint64)),  # every group-count boundary
+        ])
+        assert encode_varints_msb_np(vals) == encode_varints_msb(vals.tolist())
+
+    def test_partitioned_band_sink_golden(self, spark, tmp_path):
+        """Concatenated bands must be byte-equal to the driver-side export
+        on a cropped grid (including an all-zero band)."""
+        from osm_pbf_convert_spark.operators.tiling import (
+            export_heat_map_bytes,
+            heat_map_bands,
+            write_heat_map_file,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 300
+        pdf = pd.DataFrame({
+            "row": rng.integers(0, 64, n),
+            "col": rng.integers(0, 128, n),
+            "cnt": rng.integers(1, 10**7, n),
+        }).groupby(["row", "col"], as_index=False).agg(cnt=("cnt", "first"))
+        pdf = pdf[pdf["row"] // 16 != 2]  # band 2 left empty on purpose
+        counts = spark.createDataFrame(pdf)
+        golden = export_heat_map_bytes(counts, rows=64, cols=128)
+
+        bands = heat_map_bands(counts, rows=64, cols=128, band_rows=16).orderBy("band").collect()
+        assert [b["band"] for b in bands] == [0, 1, 2, 3]  # empty band present
+        assert b"".join(b["data"] for b in bands) == golden
+
+        out_file = str(tmp_path / "crop.heat.map")
+        total = write_heat_map_file(counts, out_file, rows=64, cols=128, band_rows=16)
+        with open(out_file, "rb") as f:
+            assert f.read() == golden
+        assert total == len(golden)
