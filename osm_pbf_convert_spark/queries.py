@@ -1063,13 +1063,61 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF probe with FIXED centroids (the embeddings rows vec_id 0..7) so
+    a DuckDB oracle can replay cell assignment + probing exactly. The
+    k-means-trained production path (train_centroids) is exercised by the
+    recall-bound pytest; the probe machinery (broadcast centroid matrix,
+    pandas_udf argmin assignment, nprobe cell join, exact in-cell cosine)
+    is identical here."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = t.to_pandas()
+    pdf = pdf[pdf["vec_id"] < 8].sort_values("vec_id")
+    cents = _np.asarray(pdf["embedding"].tolist(), dtype=_np.float64)
+
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ivf_topk(emb, qs, k=5, ncells=8, nprobe=3).select(
+    return similarity.ivf_topk(emb, qs, k=5, ncells=8, nprobe=3, centroids=cents).select(
         "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
     )
+
+
+# Replays the fixed-centroid IVF: nearest cell per vector (ties -> lower
+# cell id, matching the stable argsort), nprobe=3 cells per query, exact
+# cosine rank within candidates.
+_Q_IVF_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+v AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv), c.cell LIMIT 1) AS cell
+  FROM embeddings e
+),
+qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+qcells AS (
+  SELECT q.query_id, q.qv, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_distance(q.qv::DOUBLE[], c.cv), c.cell) AS r
+  FROM qs q CROSS JOIN cents c
+),
+cand AS (
+  SELECT p.query_id, p.qv, v.vec_id, v.embedding
+  FROM (SELECT query_id, qv, cell FROM qcells WHERE r <= 3) p JOIN v USING (cell)
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM scored WHERE rank <= 5
+"""
 
 
 _POLYGONS = [
@@ -1296,6 +1344,7 @@ ORACLES = {
     "pip_rects": _Q_PIP_RECTS_ORACLE,
     "point_in_polygon": _Q_PIP_ORACLE,
     "ngram_jaccard": _Q_NGRAM_ORACLE,
+    "ivf_topk": _Q_IVF_ORACLE,
     "lang_id": _Q_LANG_ORACLE,
     "quality": _Q_QUALITY_ORACLE,
     "fingerprint": _Q_FINGERPRINT_ORACLE,

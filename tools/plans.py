@@ -26,6 +26,11 @@ HEADLINE = [
     "decode_nodes",
     "pages_geo",
     "pricing_summary",
+    "ivf_topk",
+    "ngram_jaccard",
+    "tag_dict_encode",
+    "point_in_polygon",
+    "sessionization",
 ]
 
 
@@ -44,7 +49,14 @@ def main():
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+        text = buf.getvalue().strip()
+        lines = [
+            (l[:400] + f" ... [{len(l) - 400} chars truncated]") if len(l) > 400 else l
+            for l in text.splitlines()
+        ]
+        if len(lines) > 160:  # keep the tree + key node details, not 100KB
+            lines = lines[:160] + [f"... [{len(lines) - 160} detail lines truncated]"]
+        out.append(f"## {name}\n\n```\n" + "\n".join(lines) + "\n```\n")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("PLANS.md written:", sum(len(s) for s in out), "chars")
