@@ -251,7 +251,8 @@ def main():
             "tile_counts_z8", "heat_map", "tile_pyramid", "knn", "embedding_topk",
             "minhash_pairs", "exact_dedup", "token_counts", "point_in_polygon",
             "sessionization", "tag_stats_by_kind", "knn_multi_tile", "pip_rects",
-            "simhash_hamming_pairs",
+            "simhash_hamming_pairs", "tag_dict_encode", "ngram_jaccard_lsh",
+            "lang_id", "fingerprint", "ivf_topk", "tile_windows",
         ]
         for name in subset:
             t0 = time.time()

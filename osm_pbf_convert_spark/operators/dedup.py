@@ -143,6 +143,37 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_k: int = 5, threshold: float = 0.8,
+    num_hashes: int = 64, bands: int = 16,
+) -> DataFrame:
+    """Scale path for n-gram Jaccard: MinHash-LSH candidate generation +
+    EXACT Jaccard verify on the candidates.
+
+    The inverted-index path (ngram_jaccard_pairs) generates O(df^2) pairs
+    per shared shingle -- quadratic on template-heavy corpora where most
+    shingles are corpus-common. LSH banding collides pairs with probability
+    1-(1-s^r)^b driven by the PAIR's similarity s, independent of shingle
+    document frequency; surviving jaccard values are exact (computed on the
+    full shingle sets), so only recall is probabilistic. This is the shape
+    that holds at 100 TB: candidates scale with true duplicates."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("shs"))
+    return (
+        cands
+        .join(sh.select(F.col(id_col).alias("a"), F.col("shs").alias("sha")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("shs").alias("shb")), "b")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sha") + F.size("shb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 64, token_pattern: str = r"\s+",

@@ -792,7 +792,12 @@ def _pages(spark, sf_dir) -> DataFrame:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             synth_pages(spark, sf_dir).write.mode("overwrite").parquet(path)
         _PAGES_CACHE[key] = path
-    return spark.read.parquet(_PAGES_CACHE[key])
+    # one mapInArrow task per core: the fixed per-task Python-worker
+    # round-trip (~7ms) dominates at test file sizes (BENCH/NOTES.md);
+    # at 100 TB the same rule is maxPartitionBytes ~ 128-512MB
+    return spark.read.parquet(_PAGES_CACHE[key]).coalesce(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 _PAGE_SQL = "CAST(FLOOR(l_orderkey / 20) AS BIGINT)"  # must match synth_pages orders_per_page=20
@@ -914,9 +919,28 @@ def q_simhash_hamming_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # Exact inverted-index variant. max_doc_freq bounds the O(df^2)
+    # candidate blowup of corpus-common shingles; this synthetic corpus is
+    # template-heavy (near-dup pairs share shingles with df up to ~400 at
+    # sf0.01), so the guard sits just above that. The corpus-profile-free
+    # scale path is q_ngram_jaccard_lsh below.
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6, min_common=5,
-        max_doc_freq=1000,
+        max_doc_freq=400,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Scale path: MinHash-LSH candidates + exact Jaccard verify -- the
+    candidate count follows true pair similarity, not shingle document
+    frequency (rows-only: minhash needs xxhash64, absent in DuckDB; a
+    pytest proves equality with the exact path on a labeled corpus)."""
+    # r=4 rows/band: background pairs (s~0.12 on this corpus) collide with
+    # P = 1-(1-0.12^4)^16 = 0.33%, while s>=0.6 pairs are found with 89%+
+    # probability -- candidates stay proportional to true near-dups
+    return dedup.ngram_jaccard_lsh_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6,
+        num_hashes=64, bands=16,
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -932,7 +956,7 @@ WITH sh AS (
   FROM documents
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 400),
 cand AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
 common AS (
   SELECT ca.doc_id AS a, cb.doc_id AS b, COUNT(*) AS common
@@ -1201,6 +1225,29 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_tile_windows(spark, sf_dir):
+    """Streaming geo rollup validated in batch: windowed per-tile counts
+    over geo-tagged events (streaming/tiles.py shares this transformation
+    with the watermark streaming variant; the streaming pytest checks
+    stream ⊆ batch under availableNow replay)."""
+    from osm_pbf_convert_spark.streaming.tiles import windowed_tile_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.expr(SX.ilat_sql("event_id")).cast("int").alias("ilat"),
+        F.expr(SX.ilon_sql("event_id")).cast("int").alias("ilon"),
+    )
+    return windowed_tile_counts(ev, z=8, window="1 hour")
+
+
+_Q_TILE_WINDOWS_ORACLE = f"""
+SELECT (CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS window_start,
+       {C.tile_sql(C.morton_cell_sql(SX.ilat_sql("event_id"), SX.ilon_sql("event_id")), 8)} AS tile,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_pip_rects(spark, sf_dir):
     """Point-in-polygon restricted to the axis-aligned rect polygons so a
     SQL oracle exists: ray casting on a rect ring reduces to exact
@@ -1295,6 +1342,7 @@ QUERIES = {
     "way_size_histogram": q_way_size_histogram,
     "heavy_hitters": q_heavy_hitters,
     "event_windows": q_event_windows,
+    "tile_windows": q_tile_windows,
     "sessionization": q_sessionization,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -1302,12 +1350,13 @@ QUERIES = {
     "point_in_polygon": q_point_in_polygon,
     "pip_rects": q_pip_rects,
     "ngram_jaccard": q_ngram_jaccard,
-    # rows-only (xxhash64-based / approximate -- no DuckDB counterpart)
+    "ivf_topk": q_ivf_topk,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+    # rows-only (xxhash64/sha256-RNG based -- no DuckDB counterpart)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_neardup": q_embedding_neardup,
-    "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1341,6 +1390,7 @@ ORACLES = {
     "way_size_histogram": _Q_WAYSIZE_ORACLE,
     "heavy_hitters": _Q_HEAVY_ORACLE,
     "event_windows": _Q_EVENTWIN_ORACLE,
+    "tile_windows": _Q_TILE_WINDOWS_ORACLE,
     "pip_rects": _Q_PIP_RECTS_ORACLE,
     "point_in_polygon": _Q_PIP_ORACLE,
     "ngram_jaccard": _Q_NGRAM_ORACLE,

@@ -74,6 +74,25 @@ class TestDedup:
         assert (100, 101) in got  # rare-shingle dup still found, jaccard exact
         assert all(a == 100 for a, _ in got)  # hot-prefix docs produce no pairs at 0.9
 
+    def test_ngram_jaccard_lsh_matches_exact(self, spark):
+        """LSH-candidates + exact verify finds the same >= threshold pairs
+        as the exhaustive inverted-index path (surviving jaccard values are
+        exact; recall loss at these (r, b) is negligible for s >= 0.6)."""
+        base = "the quick brown fox jumps over the lazy sleeping dog tonight "
+        rows = [(i, base + f"variant {i} unique tail content number {i}") for i in range(20)]
+        rows += [(100, base * 3), (101, base * 3 + "x"), (102, base * 3 + "yz")]
+        df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+        exact = dedup.ngram_jaccard_pairs(
+            df, shingle_k=5, threshold=0.6, max_doc_freq=None
+        ).toPandas()
+        lsh = dedup.ngram_jaccard_lsh_pairs(
+            df, shingle_k=5, threshold=0.6, num_hashes=32, bands=16
+        ).toPandas()
+        e = {(r["a"], r["b"]): round(r["jaccard"], 9) for _, r in exact.iterrows()}
+        l = {(r["a"], r["b"]): round(r["jaccard"], 9) for _, r in lsh.iterrows()}
+        assert set(l) == set(e)  # same pairs
+        assert l == e  # identical exact jaccard values
+
     def test_simhash_groups(self, docs_df):
         df, _ = docs_df
         groups = dedup.simhash_dedup_groups(df).toPandas()
@@ -367,6 +386,46 @@ class TestStreaming:
             .reset_index(drop=True)
         )
         assert got.equals(batch[["window_start", "event_type", "n_events"]])
+
+    def test_stream_tile_counts_match_batch(self, spark, sf_dir, tmp_path):
+        """Streaming geo rollup (windowed per-tile counts) under
+        availableNow replay equals the batch transformation."""
+        from pyspark.sql import functions as F
+
+        from osm_pbf_convert_spark import sql_fixtures as SX
+        from osm_pbf_convert_spark.streaming.tiles import (
+            stream_windowed_tile_counts,
+            windowed_tile_counts,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "ts",
+            F.expr(SX.ilat_sql("event_id")).cast("int").alias("ilat"),
+            F.expr(SX.ilon_sql("event_id")).cast("int").alias("ilon"),
+        )
+        pts_dir = tmp_path / "pts"
+        ev.write.mode("overwrite").parquet(str(pts_dir))
+        batch = (
+            windowed_tile_counts(spark.read.parquet(str(pts_dir)), z=8)
+            .toPandas().sort_values(["window_start", "tile"]).reset_index(drop=True)
+        )
+        sdf = stream_windowed_tile_counts(
+            spark, str(pts_dir), "ts timestamp_ntz, ilat int, ilon int", z=8
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("tilewin")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("select * from tilewin")
+            .toPandas().sort_values(["window_start", "tile"]).reset_index(drop=True)
+        )
+        assert got.equals(batch[["window_start", "tile", "cnt"]])
 
 
 @pytest.mark.spark
