@@ -140,7 +140,10 @@ def heat_map_bands(
     n_bands = rows // band_rows
     spark = heat_df.sparkSession
     bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    cells = heat_df.withColumn("band", (F.col("row") / band_rows).cast("int"))
+    cells = heat_df.filter(
+        (F.col("row") >= 0) & (F.col("row") < rows)
+        & (F.col("col") >= 0) & (F.col("col") < cols)
+    ).withColumn("band", (F.col("row") / band_rows).cast("int"))
     full = bands.join(cells, "band", "left")
 
     def encode_band(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -91,6 +91,40 @@ class TestPlanShape:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_tile_windows_single_shuffle(self, spark, sf_dir):
+        """Streaming geo rollup (batch form): one hash aggregate pair, one
+        shuffle on (window, tile) -- no joins, no Python."""
+        from osm_pbf_convert_spark import queries as Q
+
+        plan = Q.q_tile_windows(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_ngram_lsh_no_cartesian(self, spark):
+        """LSH candidate join is an equi-join on (band, bucket), never a
+        cross/NLJ product; verify join is equi on ids."""
+        from osm_pbf_convert_spark.operators.dedup import ngram_jaccard_lsh_pairs
+
+        df = spark.createDataFrame(
+            [(1, "aaaa bbbb cccc"), (2, "aaaa bbbb cccc")], schema="doc_id bigint, text string"
+        )
+        plan = ngram_jaccard_lsh_pairs(df, shingle_k=4)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_heat_band_sink_no_driver_collect(self, spark):
+        """heat_map_bands encodes on executors: the plan is a grouped
+        Python (FlatMapGroupsInPandas) stage, not a driver-side toPandas."""
+        from osm_pbf_convert_spark.operators.tiling import heat_map_bands
+
+        counts = spark.createDataFrame(
+            [(0, 0, 5), (17, 3, 2)], schema="row int, col int, cnt long"
+        )
+        df = heat_map_bands(counts, rows=64, cols=64, band_rows=16)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
+
     def test_pyramid_single_scan_single_shuffle(self, spark, sf_dir):
         """tile_pyramid is one Expand + one aggregate: a single input scan
         and a single shuffle for ALL zoom levels -- no union branches."""
