@@ -71,20 +71,43 @@ def _skew_experiment(spark, args):
         )
         return spark.range(n_ways).select(F.col("id"), refs.alias("refs"))
 
-    results = {}
-    for tag, pct in (("uniform", 0), ("skewed_50pct_hot", 50)):
-        ways = mk_ways(pct)
-        force(resolve_ways(ways, nodes, keep_tags=False))  # warm
+    def timed(ways, node_side):
+        force(resolve_ways(ways, node_side, keep_tags=False))  # warm
         best = None
         for _ in range(max(1, args.iterations)):
             t0 = time.time()
-            force(resolve_ways(ways, nodes, keep_tags=False))
+            force(resolve_ways(ways, node_side, keep_tags=False))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        results[tag] = round(best, 3)
+        return round(best, 3)
+
+    results = {}
+    for tag, pct in (("uniform", 0), ("skewed_50pct_hot", 50)):
+        results[tag] = timed(mk_ways(pct), nodes)
     results["ratio"] = round(results["skewed_50pct_hot"] / results["uniform"], 3)
+
+    # third arm: the clustered node store (reference NodesIndex analog) --
+    # nodes persisted bucketed+sorted on id skip the nodes-side exchange
+    # AND sort on every future join (plan-tested in test_plan_quality.py).
+    # Both arms read PERSISTED tables so the comparison isolates the
+    # exchange+sort, not parquet IO vs in-memory range generation.
+    from osm_pbf_convert_spark.plans.partitioning import write_bucketed_nodes
+
+    spark.sql("DROP TABLE IF EXISTS bench_nodes_plain")
+    spark.sql("DROP TABLE IF EXISTS bench_nodes_bucketed")
+    # orphaned locations survive a DROP when the metastore was recreated
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bench_nodes_plain", "bench_nodes_bucketed"):
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    nodes.write.mode("overwrite").format("parquet").saveAsTable("bench_nodes_plain")
+    write_bucketed_nodes(nodes, "bench_nodes_bucketed", buckets=32)
+    results["skewed_plain_store"] = timed(mk_ways(50), spark.table("bench_nodes_plain"))
+    results["skewed_bucketed_store"] = timed(mk_ways(50), spark.table("bench_nodes_bucketed"))
+
     print(json.dumps({
-        "metric": "resolve_ways hot-node skew (AQE skew-join)",
+        "metric": "resolve_ways hot-node skew (AQE skew-join + bucketed node store)",
         "n_nodes": n_nodes, "n_way_refs": n_ways * refs_per_way,
         "cores": args.cores, "unit": "sec", **results,
     }))
