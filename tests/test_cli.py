@@ -73,6 +73,21 @@ class TestCliVerbs:
         got = spark.read.parquet(f"{out}/{sub}")
         assert got.count() >= min_rows
 
+    def test_nodes_index_verb(self, spark, pages_path, tmp_path, monkeypatch):
+        """nodes-index writes the bucketed+sorted clustered node store
+        (NodesIndex.cs analog) into a dedicated database location."""
+        out = str(tmp_path / "out")
+        prev_db = spark.catalog.currentDatabase()
+        try:
+            _run("nodes-index", pages_path, out, monkeypatch, spark)
+            got = spark.table("cli_out.nodes_index")
+            assert got.count() == 16
+            assert set(got.columns) == {"id", "ilat", "ilon"}
+        finally:
+            spark.catalog.setCurrentDatabase(prev_db)
+            spark.sql("DROP TABLE IF EXISTS cli_out.nodes_index")
+            spark.sql("DROP DATABASE IF EXISTS cli_out")
+
     def test_heat_map_verb_reference_bytes(self, spark, pages_path, tmp_path, monkeypatch):
         """Full reference grid dims (16384x32768). All 16 node counts are 1
         (< 0x80), so every cell is exactly one varint byte: the file is

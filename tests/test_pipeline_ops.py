@@ -247,6 +247,20 @@ class TestMultimodal:
 
 @pytest.mark.spark
 class TestCheckpoint:
+    def test_exists_probes_hadoop_fs_uri(self, spark, tmp_path):
+        """_exists goes through the Hadoop FileSystem API, so scheme-
+        qualified URIs (file://, s3a://, hdfs://) work -- a driver-local
+        os.path probe silently returned False for them, making resume
+        reprocess everything on object stores."""
+        path = tmp_path / "ckpt_uri"
+        table = CheckpointTable(f"file://{path}")
+        assert not table._exists(spark)
+        rows = spark.createDataFrame([(0, 5)], schema="partition_id bigint, n_rows bigint")
+        table.commit(spark, "job-uri", rows)
+        assert table._exists(spark)
+        got = table.completed(spark, "job-uri").toPandas()
+        assert got["partition_id"].tolist() == [0]
+
     def test_resume_skips_committed(self, spark, tmp_path):
         table = CheckpointTable(str(tmp_path / "ckpt"))
         sink = str(tmp_path / "out")
