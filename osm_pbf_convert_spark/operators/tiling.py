@@ -103,9 +103,10 @@ def export_heat_map_bytes(heat_df, rows: int = 16384, cols: int = 32768) -> byte
 
     Driver-side materialization of the (sparse) aggregate into the dense
     dump -- intended for bounded grids / cropped regions; the full global
-    grid at reference dimensions is a ~0.5 GB artifact and should go
-    through a partitioned sink instead. Kept as the byte-format parity
-    bridge to the reference's `.heat.map` files.
+    grid at reference dimensions is a ~0.5 GB artifact: use the
+    distributed band sink (``heat_map_bands`` / ``write_heat_map_file``
+    below, byte-identical by golden test) for it. Kept as the byte-format
+    parity bridge to the reference's `.heat.map` files.
     """
     import numpy as np
 
