@@ -127,7 +127,7 @@ def main():
     ap.add_argument("--skew-exp", action="store_true",
                     help="run the resolve_ways hot-node skew experiment and exit")
     ap.add_argument("--executors", type=int, default=None,
-                    help="run on local-cluster[E,2,4096]: E separate executor JVMs "
+                    help="run on local-cluster[E,2,8192]: E separate executor JVMs "
                          "(own heap/GC/Python workers) -- the faithful N -> 4N "
                          "executor-scaling mode; overrides --cores (total = 2E)")
     args = ap.parse_args()

@@ -72,10 +72,16 @@ def main():
     )
     print(f"decode: committed {n} partitions, {bad_acc.value} corrupt payloads skipped")
     if n:
-        # job-level corruption metric (partition_id = -1): accumulator totals
-        # are batch-scoped, so record alongside the batch's lineage rows
+        # corruption metric caveats (by construction, documented here and in
+        # the metric name): (a) the accumulator is bumped inside a
+        # transformation (mapInArrow), so stage/task RETRIES can overcount
+        # -- treat it as approximate, an alarm threshold not a ledger;
+        # (b) it is PER-BATCH: every resumed batch appends its own
+        # partition_id=-1 row, so consumers must MAX/inspect per batch, not
+        # SUM across the job. Exact counts, if ever needed, come from
+        # per-partition row deltas (lineage n_rows vs input page counts).
         metric = spark.createDataFrame(
-            [(-1, 0, "n_bad_payloads", float(bad_acc.value))],
+            [(-1, 0, "n_bad_payloads_batch_approx", float(bad_acc.value))],
             schema="partition_id bigint, n_rows bigint, metric_name string, metric_value double",
         )
         table.commit(spark, f"{args.job_id}-decode", metric)

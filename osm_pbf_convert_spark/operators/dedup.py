@@ -100,7 +100,7 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.8, min_common: int = 1,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share >= min_common
     shingles (inverted-index join).
@@ -111,10 +111,11 @@ def ngram_jaccard_pairs(
     of surviving pairs is exact -- only recall on pairs related solely
     through ultra-common shingles is traded away.
 
-    The guard defaults ON (1000: one hot shingle then caps at ~500k
-    candidate pairs instead of scaling quadratically with corpus size).
-    Pass ``max_doc_freq=None`` only for bounded inputs where exact recall
-    through stop-shingles is required."""
+    The guard defaults OFF (``None``): exact recall by default, opt in at
+    call sites (the catalog passes 400; anything unbounded should) --
+    silently losing recall in a dedup pipeline retains duplicates, the
+    worse failure. For corpora where candidate generation is the wall,
+    ``ngram_jaccard_lsh_pairs`` is the scale path."""
     sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     cand_sh = sh

@@ -101,6 +101,17 @@ def _nearest_cells_udf(spark: SparkSession, cents: np.ndarray, nprobe: int):
             dv = np.take_along_axis(d, part, axis=1)
             order = np.lexsort((part, dv), axis=1)[:, :p]
             idx = np.take_along_axis(part, order, axis=1)
+            # argpartition picks the cth boundary arbitrarily among equal
+            # distances, which can deviate from the stable (distance, cell)
+            # order when cells outside the partition tie with the selected
+            # boundary. Detect those rows exactly (<= boundary count beyond
+            # cth) and re-rank just them with the full stable sort -- rare
+            # on continuous distances, so the fast path stays vectorized.
+            boundary = dv.max(axis=1)
+            tied = (d <= boundary[:, None]).sum(axis=1) > cth
+            if tied.any():
+                exact = np.argsort(d[tied], axis=1, kind="stable")[:, :p]
+                idx[tied] = exact
         else:
             # stable argsort of d breaks ties by cell id (array is in cell order)
             idx = np.argsort(d, axis=1, kind="stable")[:, :p]

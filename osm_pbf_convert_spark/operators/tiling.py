@@ -119,7 +119,8 @@ def export_heat_map_bytes(heat_df, rows: int = 16384, cols: int = 32768) -> byte
 
 
 def heat_map_bands(
-    heat_df: DataFrame, rows: int = 16384, cols: int = 32768, band_rows: int = 512
+    heat_df: DataFrame, rows: int = 16384, cols: int = 32768, band_rows: int = 512,
+    on_out_of_range: str = "error",
 ) -> DataFrame:
     """Distributed encoder for the reference heat-map byte format: the grid
     is split into ``rows/band_rows`` horizontal bands, each band encoded to
@@ -131,6 +132,11 @@ def heat_map_bands(
 
     Empty bands are preserved (all-zero slices) via a range outer-join, so
     the band set is always complete.
+
+    ``on_out_of_range``: "error" (default) fails the job if any cell falls
+    outside [0, rows) x [0, cols) -- silently dropping cells would make
+    the byte dump LOOK complete while under-counting; "drop" restores the
+    old filter semantics for callers that crop a larger grid on purpose.
     """
     import pandas as pd
 
@@ -138,19 +144,39 @@ def heat_map_bands(
 
     if rows % band_rows:
         raise ValueError("band_rows must divide rows")
+    if on_out_of_range not in ("error", "drop"):
+        raise ValueError("on_out_of_range must be 'error' or 'drop'")
     n_bands = rows // band_rows
     spark = heat_df.sparkSession
     bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    cells = heat_df.filter(
+    in_range = (
         (F.col("row") >= 0) & (F.col("row") < rows)
         & (F.col("col") >= 0) & (F.col("col") < cols)
-    ).withColumn("band", (F.col("row") / band_rows).cast("int"))
+    )
+    if on_out_of_range == "drop":
+        cells = heat_df.filter(in_range).withColumn(
+            "band", (F.col("row") / band_rows).cast("int")
+        )
+    else:
+        # out-of-range cells land in sentinel band -1 and fail the encode
+        # task with a counted error (no extra pre-scan action needed)
+        cells = heat_df.withColumn(
+            "band", F.when(in_range, (F.col("row") / band_rows).cast("int")).otherwise(F.lit(-1))
+        )
     full = bands.join(cells, "band", "left")
+    if on_out_of_range == "error":
+        full = full.unionByName(cells.filter(F.col("band") == -1))
 
     def encode_band(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         band = int(pdf["band"].iloc[0])
+        if band < 0:
+            bad = pdf[["row", "col"]].head(3).to_dict("records")
+            raise ValueError(
+                f"heat_map_bands: {len(pdf)} cell(s) outside [0,{rows})x[0,{cols}), "
+                f"e.g. {bad}; pass on_out_of_range='drop' to crop"
+            )
         grid = np.zeros((band_rows, cols), dtype=np.int64)
         hit = pdf.dropna(subset=["row"])
         if len(hit):
@@ -168,11 +194,22 @@ def write_heat_map_file(heat_df: DataFrame, out_file: str, rows: int = 16384,
                         cols: int = 32768, band_rows: int = 512) -> int:
     """Assemble the reference ``.heat.map`` byte stream: bands encode in
     parallel on executors; the driver only streams the (already encoded)
-    slices to the file in order. Returns total bytes written."""
+    slices to the target in order. ``out_file`` goes through the Hadoop
+    FileSystem API, so object-store / HDFS URIs (s3a://, hdfs://) work the
+    same as local paths -- consistent with checkpoint._exists. Returns
+    total bytes written."""
     bands = heat_map_bands(heat_df, rows, cols, band_rows).orderBy("band")
+    spark = heat_df.sparkSession
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_file)
+    fs = path.getFileSystem(hconf)
+    out = fs.create(path, True)
     total = 0
-    with open(out_file, "wb") as f:
+    try:
         for r in bands.toLocalIterator():
-            f.write(r["data"])
+            out.write(bytearray(r["data"]))
             total += len(r["data"])
+    finally:
+        out.close()
     return total

@@ -520,3 +520,27 @@ class TestHeatMapExport:
         with open(out_file, "rb") as f:
             assert f.read() == golden
         assert total == len(golden)
+
+        # Hadoop FileSystem path: an explicit file:// URI must work the
+        # same (the sink streams via fs.create, not builtin open)
+        uri_file = tmp_path / "crop_uri.heat.map"
+        write_heat_map_file(counts, f"file://{uri_file}", rows=64, cols=128, band_rows=16)
+        assert uri_file.read_bytes() == golden
+
+    def test_band_sink_out_of_range_errors(self, spark):
+        """Cells outside the grid must FAIL the encode (silent drops would
+        fake a complete byte dump); on_out_of_range='drop' opts into crop."""
+        import pytest as _pytest
+        from pyspark.errors.exceptions.captured import PythonException
+
+        from osm_pbf_convert_spark.operators.tiling import heat_map_bands
+
+        counts = spark.createDataFrame(
+            pd.DataFrame({"row": [1, 70], "col": [1, 1], "cnt": [5, 7]})
+        )
+        with _pytest.raises(PythonException, match="outside"):
+            heat_map_bands(counts, rows=64, cols=128, band_rows=16).collect()
+        ok = heat_map_bands(
+            counts, rows=64, cols=128, band_rows=16, on_out_of_range="drop"
+        ).collect()
+        assert [b["band"] for b in ok] == [0, 1, 2, 3]
