@@ -47,20 +47,35 @@ def shingles_col(text, k: int = 5):
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 64, shingle_k: int = 5,
+    num_hashes: int = 64, shingle_k: int = 5, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig array<bigint>[num_hashes]) -- min over shingle hashes per
-    seed. One explode + one groupBy with num_hashes min() aggregates."""
+    """(id, sig array[num_hashes]) -- min over shingle hashes per seed.
+    One explode + one groupBy with num_hashes min() aggregates.
+
+    hash_fn: "xxhash64" (production default: fastest JVM hash, sig is
+    array<bigint>) or "md5" (sig is array<string> of hex digests; the min
+    over lexicographic hex order IS a valid minhash family -- it equals
+    numeric order on the 128-bit value -- and DuckDB replays it
+    bit-identically, so the correctness oracle uses this variant)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("h0", F.xxhash64("sh"))
-    # hash the STRING once; derive the permutation family by re-hashing the
-    # fixed-width long (8-byte xxhash64 is ~free next to string hashing;
-    # affine mod-2^64 mixing would be cheaper still but ANSI mode rejects
-    # the intentional overflow)
-    aggs = [
-        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    )
+    if hash_fn == "xxhash64":
+        # hash the STRING once; derive the permutation family by re-hashing
+        # the fixed-width long (8-byte xxhash64 is ~free next to string
+        # hashing; affine mod-2^64 mixing would be cheaper still but ANSI
+        # mode rejects the intentional overflow)
+        sh = sh.withColumn("h0", F.xxhash64("sh"))
+        aggs = [
+            F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{i}")).cast("binary"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -70,24 +85,38 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
 
     rows_per_band = num_hashes // bands; two docs collide in a band iff all
-    its rows agree -> P(collide) = s^rows per band (s = true Jaccard)."""
+    its rows agree -> P(collide) = s^rows per band (s = true Jaccard).
+    hash_fn as in minhash_signatures ("md5" = the DuckDB-replayable oracle
+    variant; band buckets become the joined hex strings)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws("|", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
+    if hash_fn == "md5":
+        # bucket = the band's hex digests joined -- band id is already a
+        # separate join column, so no re-hash is needed (and DuckDB replays
+        # string concatenation exactly)
+        band_arr = F.array(
+            *[
+                F.concat_ws("|", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws("|", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]),
+                    F.lit(b),
+                )
+                for b in range(bands)
+            ]
+        )
     banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
@@ -147,7 +176,7 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.8,
-    num_hashes: int = 64, bands: int = 16,
+    num_hashes: int = 64, bands: int = 16, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Scale path for n-gram Jaccard: MinHash-LSH candidate generation +
     EXACT Jaccard verify on the candidates.
@@ -159,7 +188,7 @@ def ngram_jaccard_lsh_pairs(
     document frequency; surviving jaccard values are exact (computed on the
     full shingle sets), so only recall is probabilistic. This is the shape
     that holds at 100 TB: candidates scale with true duplicates."""
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
     sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("shs"))
     return (
         cands
@@ -177,17 +206,34 @@ def ngram_jaccard_lsh_pairs(
 
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 64, token_pattern: str = r"\s+",
+    bits: int = 64, token_pattern: str = r"\s+", hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash long) via explode + ONE groupBy with 64 conditional
+    """(id, simhash long) via explode + ONE groupBy with `bits` conditional
     sums -- each token is hashed once (simhash_col as a single Column
-    expression re-evaluates the token array per bit; use this for bulk)."""
+    expression re-evaluates the token array per bit; use this for bulk).
+
+    hash_fn: "xxhash64" (production default, 64-bit token hashes) or "md5"
+    (token hash = first 15 hex chars of md5 as a 60-bit long, so bits must
+    be <= 60; DuckDB replays it via CAST('0x'||substr(md5(tok),1,15) AS
+    BIGINT) -- the correctness-oracle variant; the sign bit stays clear,
+    so signed and unsigned shifts agree across engines)."""
+    if hash_fn == "md5" and bits > 60:
+        raise ValueError("md5 variant carries 60 hash bits; pass bits<=60")
     tok = df.select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), token_pattern), lambda t: t != "")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_fn == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+    elif hash_fn == "md5":
+        tok = tok.withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -230,17 +276,22 @@ def simhash_col(text, bits: int = 64, token_pattern: str = r"\s+"):
 def simhash_hamming_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, bands: int | None = None,
+    bits: int = 64, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs with simhash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit signature into max_hamming+1
-    chunks -- any pair within distance d agrees exactly on >= 1 chunk, so
-    an equi-join per chunk finds ALL such pairs (no recall loss); exact
-    popcount (bit_count, JVM) verifies candidates.
+    Pigeonhole banding: split the signature into max_hamming+1 chunks --
+    any pair within distance d agrees exactly on >= 1 chunk, so an
+    equi-join per chunk finds ALL such pairs (no recall loss; bits the
+    chunks don't cover only ADD candidates -- fewer covered differences
+    need even fewer clean chunks -- and the exact popcount verify uses
+    every bit); exact popcount (bit_count, JVM) verifies candidates.
+
+    bits/hash_fn as in simhash_signatures (md5 = 60-bit oracle variant).
     """
     b = bands or (max_hamming + 1)
-    width = 64 // b
-    s = simhash_signatures(df, id_col, text_col)
+    width = bits // b
+    s = simhash_signatures(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     chunk_arr = F.array(
         *[
             F.struct(
@@ -267,10 +318,13 @@ def simhash_hamming_pairs(
     return pairs
 
 
-def simhash_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 64, hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Groups of docs with IDENTICAL simhash (near-dup at hamming 0); for
-    hamming <= d banding, split the 64 bits into d+1 chunks upstream."""
-    s = simhash_signatures(df, id_col, text_col)
+    hamming <= d banding, split the bits into d+1 chunks upstream."""
+    s = simhash_signatures(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     return (
         s.groupBy("simhash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"), F.count(F.lit(1)).alias("n"))
@@ -281,6 +335,7 @@ def simhash_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, planes: int = 16, seed: int = 42,
+    hyperplanes: list | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via random-hyperplane LSH.
 
@@ -289,22 +344,45 @@ def embedding_neardup_pairs(
     sign-pattern bucket get exact cosine; pairs >= threshold survive.
     Recall note: single-table LSH; OR-construction = union over several
     seeds.
+
+    ``hyperplanes``: optional explicit sign matrix (planes x dim of +-1.0
+    floats) replacing the xxhash64-derived normals -- the
+    DuckDB-replayable oracle variant (literal signs make bucket
+    assignment a plain +- sum both engines evaluate in the same float64
+    order); `planes`/`seed` are ignored when given.
     """
-    dim = F.size(F.col(vec_col))
-    # pseudo-random +-1 hyperplanes: sign(xxhash64(plane, dim_index, seed))
-    def plane_bit(p):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dim - 1),
-                lambda v, i: v * F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+    # all arithmetic in float64: float32 inputs are widened BEFORE any
+    # multiply, so products/sums round identically in Spark and DuckDB
+    df = df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    if hyperplanes is not None:
+        def plane_bit(p):
+            signs = F.array(*[F.lit(float(s)) for s in hyperplanes[p]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), signs, lambda v, s: v * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        planes = len(hyperplanes)
+    else:
+        dim = F.size(F.col(vec_col))
+        # pseudo-random +-1 hyperplanes: sign(xxhash64(plane, dim_index, seed))
+        def plane_bit(p):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda v, i: v * F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 1, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
 
     bucket = None
     for p in range(planes):

@@ -901,21 +901,116 @@ SELECT CAST(1 AS BIGINT), 'building', COUNT(DISTINCT l_orderkey) FROM lineitem W
 """
 
 # ---------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible or heuristic)
+# dedup family -- md5-variant catalog entries (same banding/verify logic as
+# the xxhash64 production defaults; the hash is swapped for one DuckDB can
+# replay bit-identically, mirroring the fingerprint md5 pattern)
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs(spark, sf_dir):
+    # md5 variant: min over lexicographic hex digests is a valid minhash
+    # family (hex order == numeric order on the 128-bit value); xxhash64
+    # stays the production default
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5,
+        hash_fn="md5",
     )
 
 
+def _minhash_banded_cte(num_hashes: int, bands: int, shingle_k: int) -> str:
+    """CTE chain replaying minhash_lsh_pairs(hash_fn='md5'): distinct
+    k-gram shingles -> per-seed min(md5(sh||'|i')) -> per-band bucket =
+    '|'-joined digests."""
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(md5(sh || '|{i}')) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + "concat_ws('|', " + ", ".join(f"h{b * r + i}" for i in range(r)) + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [substr(lower(text), i, {shingle_k}) FOR i IN generate_series(1, greatest(length(text) - {shingle_k - 1}, 0))]
+         )) AS sh
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+)"""
+
+
+_Q_MINHASH_ORACLE = f"""
+WITH {_minhash_banded_cte(32, 8, 5)}
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y USING (band, bucket)
+WHERE x.doc_id < y.doc_id
+"""
+
+
 def q_simhash_groups(spark, sf_dir):
-    return dedup.simhash_dedup_groups(_t(spark, sf_dir, "documents")).select("simhash", "n")
+    return dedup.simhash_dedup_groups(
+        _t(spark, sf_dir, "documents"), bits=60, hash_fn="md5"
+    ).select("simhash", "n")
 
 
 def q_simhash_hamming_pairs(spark, sf_dir):
-    return dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return dedup.simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, bits=60, hash_fn="md5"
+    ).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_sig_cte(bits: int = 60) -> str:
+    """CTE chain replaying simhash_signatures(hash_fn='md5'): whitespace
+    tokens of lower(text) -> 60-bit token hash CAST('0x'||substr(md5,1,15))
+    -> per-bit majority sums -> assembled BIGINT; token-less docs get 0."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    assemble = "\n    + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    return f"""tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+sums AS (
+  SELECT doc_id, {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sig0 AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)"""
+
+
+_Q_SIMHASH_GROUPS_ORACLE = f"""
+WITH {_simhash_sig_cte(60)}
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n
+FROM sig GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+# max_hamming=8 -> 9 pigeonhole chunks of width 60//9 = 6 bits; uncovered
+# bits only widen candidates, the bit_count(xor) verify is exact over all 60
+_Q_SIMHASH_HAMMING_ORACLE = f"""
+WITH {_simhash_sig_cte(60)},
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 6)) & 63 AS chunk
+  FROM sig, (SELECT unnest(generate_series(0, 8)) AS band)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM banded x JOIN banded y USING (band, chunk)
+WHERE x.doc_id < y.doc_id AND bit_count(xor(x.simhash, y.simhash)) <= 8
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -933,14 +1028,15 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_ngram_jaccard_lsh(spark, sf_dir):
     """Scale path: MinHash-LSH candidates + exact Jaccard verify -- the
     candidate count follows true pair similarity, not shingle document
-    frequency (rows-only: minhash needs xxhash64, absent in DuckDB; a
-    pytest proves equality with the exact path on a labeled corpus)."""
+    frequency. md5 hash variant so DuckDB replays banding AND verify
+    (xxhash64 stays the production default; a pytest proves the two hash
+    families find the same labeled near-dups)."""
     # r=4 rows/band: background pairs (s~0.12 on this corpus) collide with
     # P = 1-(1-0.12^4)^16 = 0.33%, while s>=0.6 pairs are found with 89%+
     # probability -- candidates stay proportional to true near-dups
     return dedup.ngram_jaccard_lsh_pairs(
         _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6,
-        num_hashes=64, bands=16,
+        num_hashes=64, bands=16, hash_fn="md5",
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -969,6 +1065,37 @@ FROM common
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE common / (sa.sz + sb.sz - common) >= 0.6
+"""
+
+
+# LSH replay: md5-minhash banding for candidates (same CTE family as
+# minhash_pairs, shingle_k=6 / 64 hashes / 16 bands), then the EXACT
+# jaccard verify on the full distinct-shingle sets of each candidate pair.
+_Q_NGRAM_LSH_ORACLE = f"""
+WITH {_minhash_banded_cte(64, 16, 6)},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(
+           [substr(lower(text), i, 6) FOR i IN generate_series(1, greatest(length(text) - 5, 0))]
+         ) AS s
+  FROM documents
+),
+scored AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.s, sb.s)) AS common,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.a
+  JOIN shs sb ON sb.doc_id = c.b
+)
+SELECT a, b, ROUND(common / (za + zb - common), 6) AS jaccard
+FROM scored
+WHERE common / (za + zb - common) >= 0.6
 """
 
 
@@ -1076,14 +1203,64 @@ FROM documents
 """
 
 
+def _plane_signs(seed: int, planes: int = 4, dim: int = 64) -> list:
+    """Deterministic +-1.0 hyperplane sign matrix (fixed-centroid trick of
+    ivf_topk applied to LSH: literals let DuckDB replay bucket assignment)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(planes, dim)) * 2.0 - 1.0).tolist()
+
+
 def q_embedding_neardup(spark, sf_dir):
+    # fixed hyperplanes (two tables OR-ed for recall); the xxhash64-derived
+    # production normals stay the operator default
     emb = _t(spark, sf_dir, "embeddings")
-    p1 = dedup.embedding_neardup_pairs(emb, threshold=0.3, planes=4, seed=42)
-    p2 = dedup.embedding_neardup_pairs(emb, threshold=0.3, planes=4, seed=43)
+    p1 = dedup.embedding_neardup_pairs(emb, threshold=0.3, hyperplanes=_plane_signs(42))
+    p2 = dedup.embedding_neardup_pairs(emb, threshold=0.3, hyperplanes=_plane_signs(43))
     return (
         p1.unionByName(p2).dropDuplicates(["a", "b"])
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _embedding_neardup_oracle(threshold: float = 0.3, dim: int = 64) -> str:
+    """Replays q_embedding_neardup: per-table sign-pattern buckets from the
+    SAME literal hyperplanes, exact float64 cosine inside buckets. All
+    element arithmetic on embedding::DOUBLE[] in array order, matching
+    Spark's left-to-right aggregate folds bit-for-bit."""
+    def bucket_expr(signs):
+        parts = []
+        for p, plane in enumerate(signs):
+            dot = " + ".join(f"v[{i + 1}] * {s:.1f}" for i, s in enumerate(plane))
+            parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(parts)
+
+    dot_ab = " + ".join(f"va[{i + 1}] * vb[{i + 1}]" for i in range(dim))
+    na = " + ".join(f"va[{i + 1}] * va[{i + 1}]" for i in range(dim))
+    nb = " + ".join(f"vb[{i + 1}] * vb[{i + 1}]" for i in range(dim))
+    branches = []
+    for t, seed in enumerate((42, 43)):
+        branches.append(
+            f"b{t} AS (SELECT vec_id, v, {bucket_expr(_plane_signs(seed))} AS bucket FROM e)"
+        )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{', '.join(branches)},
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM b0 x JOIN b0 y USING (bucket) WHERE x.vec_id < y.vec_id
+  UNION ALL
+  SELECT x.vec_id, y.vec_id, x.v, y.v
+  FROM b1 x JOIN b1 y USING (bucket) WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT a, b, ({dot_ab}) / (sqrt({na}) * sqrt({nb})) AS cosine
+  FROM cand
+)
+SELECT DISTINCT a, b, ROUND(cosine, 6) AS cosine
+FROM scored WHERE cosine >= {threshold}
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -1352,11 +1529,11 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ivf_topk": q_ivf_topk,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-    # rows-only (xxhash64/sha256-RNG based -- no DuckDB counterpart)
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_neardup": q_embedding_neardup,
+    # rows-only (deterministic fake decoder; media libs absent)
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1400,4 +1577,9 @@ ORACLES = {
     "fingerprint": _Q_FINGERPRINT_ORACLE,
     "sessionization": _Q_SESSION_ORACLE,
     "tag_stats_by_kind": _Q_TAGKIND_ORACLE,
+    "minhash_pairs": _Q_MINHASH_ORACLE,
+    "simhash_groups": _Q_SIMHASH_GROUPS_ORACLE,
+    "simhash_hamming_pairs": _Q_SIMHASH_HAMMING_ORACLE,
+    "ngram_jaccard_lsh": _Q_NGRAM_LSH_ORACLE,
+    "embedding_neardup": _embedding_neardup_oracle(),
 }

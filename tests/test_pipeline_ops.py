@@ -40,6 +40,26 @@ class TestDedup:
         assert (1, 3) in got or (2, 3) in got  # near dup collides w.h.p.
         assert (4, 7) not in got and (5, 7) not in got  # unrelated don't
 
+    def test_hash_variants_agree_on_labeled_dups(self, docs_df):
+        """The md5 oracle variant and the xxhash64 production default are
+        the same algorithm with the hash family swapped: both must find
+        the identical pair and the near-dup, and reject unrelated docs;
+        simhash variants must agree on hamming-0 groups."""
+        df, _ = docs_df
+        for fn in ("xxhash64", "md5"):
+            pairs = dedup.minhash_lsh_pairs(
+                df, num_hashes=32, bands=16, shingle_k=4, hash_fn=fn
+            ).toPandas()
+            got = {tuple(r) for r in pairs[["a", "b"]].itertuples(index=False)}
+            assert (1, 2) in got, fn
+            assert (1, 3) in got or (2, 3) in got, fn
+            assert (4, 7) not in got and (5, 7) not in got, fn
+        g64 = dedup.simhash_dedup_groups(df).toPandas()
+        g60 = dedup.simhash_dedup_groups(df, bits=60, hash_fn="md5").toPandas()
+        # identical docs (1, 2) form a hamming-0 group under either hash
+        assert any({1, 2} <= set(ids) for ids in g64["ids"])
+        assert any({1, 2} <= set(ids) for ids in g60["ids"])
+
     def test_ngram_jaccard(self, docs_df):
         df, _ = docs_df
         out = dedup.ngram_jaccard_pairs(df, shingle_k=4, threshold=0.5).toPandas()
