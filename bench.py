@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -122,6 +123,10 @@ def main():
                     help="union K disjoint input copies (compute-bound scaling runs)")
     ap.add_argument("--iterations", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")),
                     help="repeat the timed pipeline; report the min (contention-free estimate)")
+    ap.add_argument("--query-iters", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_QUERY_ITERS", "4")),
+                    help="runs per catalog query; the MEDIAN is reported "
+                         "(min-of-2 swung 1.8x on unchanged code -- see BENCH/NOTES.md)")
     ap.add_argument("--synth-only", action="store_true",
                     help="materialize the pages input and exit (pre-step for scaling runs)")
     ap.add_argument("--skew-exp", action="store_true",
@@ -267,6 +272,12 @@ def main():
     e2e, timings, (n_nodes, n_tiles) = best
 
     # ---- timed: representative per-operator queries at this sf ----
+    # Round-2 lesson: a single timing per query swung up to 1.82x on
+    # UNCHANGED code (host noise) -- per-query numbers are the MEDIAN of
+    # --query-iters runs (>=4; the first run of each query additionally
+    # pays its codegen, which the median discards). `query_spread` reports
+    # the median relative (max-min)/median across queries: deltas within
+    # that band round-over-round are noise, not plan changes.
     if not args.skip_queries:
         Q._pages(spark, sf)  # pre-warm synth cache (setup, not operator cost)
         subset = [
@@ -277,10 +288,23 @@ def main():
             "simhash_hamming_pairs", "tag_dict_encode", "ngram_jaccard_lsh",
             "lang_id", "fingerprint", "ivf_topk", "tile_windows",
         ]
+        spreads = []
         for name in subset:
-            t0 = time.time()
-            force(Q.QUERIES[name](spark, sf))
-            timings[name] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(max(1, args.query_iters)):
+                t0 = time.time()
+                force(Q.QUERIES[name](spark, sf))
+                runs.append(time.time() - t0)
+            med = statistics.median(runs)
+            timings[name] = round(med, 3)
+            if med > 0:
+                spreads.append((max(runs) - min(runs)) / med)
+        timings_meta = {
+            "query_iters": max(1, args.query_iters),
+            "query_spread": round(statistics.median(spreads), 3) if spreads else None,
+        }
+    else:
+        timings_meta = {}
 
     out = {
         "metric": "e2e decode+spatial-join+tiling wall sec (docs->nodes->join->tiles)",
@@ -296,6 +320,7 @@ def main():
         "docs_per_sec": round(n_docs / e2e, 1),
         "nodes_per_sec": round(n_nodes / e2e, 1),
         "tiles_per_sec": round(n_tiles / e2e, 1),
+        **timings_meta,
     }
     print(json.dumps(out))
     spark.stop()

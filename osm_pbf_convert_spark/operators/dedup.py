@@ -207,6 +207,7 @@ def ngram_jaccard_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 64, token_pattern: str = r"\s+", hash_fn: str = "xxhash64",
+    agg_mode: str = "bits",
 ) -> DataFrame:
     """(id, simhash long) via explode + ONE groupBy with `bits` conditional
     sums -- each token is hashed once (simhash_col as a single Column
@@ -216,7 +217,16 @@ def simhash_signatures(
     (token hash = first 15 hex chars of md5 as a 60-bit long, so bits must
     be <= 60; DuckDB replays it via CAST('0x'||substr(md5(tok),1,15) AS
     BIGINT) -- the correctness-oracle variant; the sign bit stays clear,
-    so signed and unsigned shifts agree across engines)."""
+    so signed and unsigned shifts agree across engines).
+
+    agg_mode: "bits" aggregates one conditional SUM per bit (`bits`
+    aggregate columns); "packed" packs 4 x 15-bit set-bit counters per
+    long and aggregates bits/4 packed SUMs + COUNT -- 4x fewer aggregate
+    expressions for the codegen stage, exact same majority semantics
+    (sum(+-1) > 0  <=>  2*count_set > n_tokens). 15-bit fields keep the
+    packed SUM below 2^63 under ANSI mode and cap docs at 32767 tokens;
+    longer docs raise at runtime (the guard is exact, not probabilistic).
+    Measured at sf0.1 before choosing the default -- see BENCH/NOTES.md."""
     if hash_fn == "md5" and bits > 60:
         raise ValueError("md5 variant carries 60 hash bits; pass bits<=60")
     tok = df.select(
@@ -234,20 +244,62 @@ def simhash_signatures(
         )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
-    acc = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-        acc = bit if acc is None else acc.bitwiseOR(bit)
-    sig = sums.select(F.col(id_col), acc.alias("simhash"))
+    if agg_mode == "bits":
+        aggs = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+        sums = tok.groupBy(id_col).agg(*aggs)
+        acc = None
+        for i in range(bits):
+            bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = bit if acc is None else acc.bitwiseOR(bit)
+        sig = sums.select(F.col(id_col), acc.alias("simhash"))
+    elif agg_mode == "packed":
+        # word w packs set-bit counters for bits (4w..4w+3) into 15-bit
+        # fields: per-token contribution = bit<<{0,15,30,45}; the packed
+        # SUM peaks at 32767*(2^45+2^30+2^15+1) < 2^63 (no ANSI overflow)
+        # and fields never carry into each other while n_tokens < 2^15
+        # (enforced below)
+        n_words = (bits + 3) // 4
+        def packed_word(w):
+            parts = []
+            for f_ in range(min(4, bits - 4 * w)):
+                i = 4 * w + f_
+                parts.append(
+                    F.shiftleft(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1).cast("long")), 15 * f_
+                    )
+                )
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = acc + p
+            return acc
+
+        aggs = [F.sum(packed_word(w)).alias(f"w{w}") for w in range(n_words)]
+        sums = tok.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("n_tok"))
+        # exact overflow guard: 15-bit counter fields cap docs at 32767
+        # tokens (raise_error keeps the check inside the same job)
+        guard = F.when(
+            F.col("n_tok") >= F.lit(1 << 15),
+            F.raise_error(F.lit("simhash packed: doc exceeds 32767 tokens; use agg_mode='bits'")),
+        ).otherwise(F.col("n_tok"))
+        sums = sums.withColumn("n_tok", guard)
+        acc = None
+        for i in range(bits):
+            w, f_ = divmod(i, 4)
+            cnt = F.shiftright(F.col(f"w{w}"), 15 * f_).bitwiseAND(F.lit(0x7FFF).cast("long"))
+            bit = F.when(
+                cnt * 2 > F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            acc = bit if acc is None else acc.bitwiseOR(bit)
+        sig = sums.select(F.col(id_col), acc.alias("simhash"))
+    else:
+        raise ValueError(f"unknown agg_mode {agg_mode!r}")
     # docs with zero tokens never reach the groupBy: give them simhash 0
     # (matches simhash_col, where the empty aggregate yields all bit_sum=0)
     empties = df.join(sig.select(id_col), id_col, "left_anti").select(

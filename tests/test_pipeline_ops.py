@@ -60,6 +60,23 @@ class TestDedup:
         assert any({1, 2} <= set(ids) for ids in g64["ids"])
         assert any({1, 2} <= set(ids) for ids in g60["ids"])
 
+    def test_simhash_packed_identical(self, docs_df, spark):
+        """packed (4x fewer aggregate expressions) must produce
+        bit-identical signatures to the per-bit sums, and its 15-bit
+        counter-field overflow guard must fail loudly, not wrap."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        df, _ = docs_df
+        a = dedup.simhash_signatures(df, agg_mode="bits").orderBy("doc_id").collect()
+        b = dedup.simhash_signatures(df, agg_mode="packed").orderBy("doc_id").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+        big = spark.createDataFrame(
+            [(1, "a " * 70000)], schema="doc_id bigint, text string"
+        )
+        with pytest.raises(SparkRuntimeException, match="32767"):
+            dedup.simhash_signatures(big, agg_mode="packed").collect()
+
     def test_ngram_jaccard(self, docs_df):
         df, _ = docs_df
         out = dedup.ngram_jaccard_pairs(df, shingle_k=4, threshold=0.5).toPandas()
