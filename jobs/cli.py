@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--heat-rows", type=int, default=16384, help="heat grid rows (reference dims)")
     ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
     ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
+    ap.add_argument("--dat", action="store_true",
+                    help="nodes-index: additionally emit the reference's "
+                         ".nodes.dat/.idx byte files (NodesIndex.cs parity "
+                         "artifact; the Parquet store stays the query path)")
     args = ap.parse_args()
 
     spark = _spark(args.verb)
@@ -88,6 +92,14 @@ def main():
         spark.sql(f"CREATE DATABASE IF NOT EXISTS cli_out LOCATION '{out}/nodes_index'")
         spark.catalog.setCurrentDatabase("cli_out")
         write_bucketed_nodes(_nodes(spark, args.pages).select("id", "ilat", "ilon"), "nodes_index")
+        if args.dat:
+            from osm_pbf_convert_spark.operators.node_store import write_nodes_index_file
+
+            nd, ni = write_nodes_index_file(
+                _nodes(spark, args.pages).select("id", "ilat", "ilon").dropDuplicates(["id"]),
+                f"{out}/nodes",
+            )
+            print(f"wrote {nd} dat bytes, {ni} idx bytes")
 
     elif args.verb == "join":
         from osm_pbf_convert_spark.operators.joins import resolve_ways
