@@ -2,12 +2,17 @@
 with typed metadata.
 
 The Spark-side contract is REAL and tested: schemas, Arrow batch shapes,
-``mapInPandas`` partition flow, deterministic partitioning. The actual
-media decode is STUBBED (image/audio libraries are not in this container):
-``decoder="stub"`` raises NotImplementedError, ``decoder="fake"`` produces
-deterministic features from the raw bytes so pipelines are end-to-end
-testable. Swapping in a real decoder (PIL/ffmpeg) is a one-function change
-inside the UDF -- the plan shape does not move.
+``mapInPandas`` partition flow, deterministic partitioning. Decoders:
+
+- ``"numpy"``: REAL image decode for two uncompressed formats a pure-numpy
+  parser can own -- 24-bit BI_RGB BMP and binary PPM (P6) -- exercising
+  the full decode -> pixels -> feature/resize path with no native deps.
+- ``"pil"``: general formats via Pillow when it is installed (import-
+  gated; absent in this container, so tests skip it).
+- ``"fake"``: deterministic pseudo-features from raw bytes (pipelines
+  stay end-to-end testable with arbitrary payloads).
+- ``"stub"``: raises NotImplementedError, documenting the missing native
+  dependency for formats beyond the above (JPEG/PNG/ffmpeg).
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int, mime:string>"
 )
 
+DECODERS = ("stub", "fake", "numpy", "pil")
+
 
 def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     """Deterministic pseudo-embedding: sha256-seeded uniform floats."""
@@ -35,50 +42,187 @@ def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     return rng.random(dim, dtype=np.float64).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy image codecs (24-bit BI_RGB BMP, binary PPM/P6)
+# ---------------------------------------------------------------------------
+
+def decode_image_np(content: bytes) -> np.ndarray:
+    """bytes -> (H, W, 3) uint8 RGB. Supports uncompressed 24-bit BMP
+    (bottom-up or top-down) and binary PPM (P6, maxval 255)."""
+    if content is None or len(content) < 2:
+        raise ValueError("empty image payload")
+    magic = bytes(content[:2])
+    if magic == b"BM":
+        if len(content) < 54:
+            raise ValueError("truncated BMP header")
+        off = int.from_bytes(content[10:14], "little")
+        width = int.from_bytes(content[18:22], "little", signed=True)
+        height = int.from_bytes(content[22:26], "little", signed=True)
+        bpp = int.from_bytes(content[28:30], "little")
+        comp = int.from_bytes(content[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+        bottom_up = height > 0
+        height = abs(height)
+        stride = ((width * 3 + 3) // 4) * 4
+        need = off + stride * height
+        if len(content) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(content, dtype=np.uint8, count=stride * height, offset=off)
+        px = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            px = px[::-1]
+        return px[..., ::-1].copy()  # BGR -> RGB
+    if magic == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+        i, fields = 2, []
+        n = len(content)
+        while len(fields) < 3:
+            while i < n and content[i : i + 1].isspace():
+                i += 1
+            if i < n and content[i : i + 1] == b"#":  # comment to EOL
+                while i < n and content[i] not in (0x0A, 0x0D):
+                    i += 1
+                continue
+            j = i
+            while j < n and not content[j : j + 1].isspace():
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        width, height, maxval = fields
+        if maxval != 255:
+            raise ValueError("only maxval 255 PPM supported")
+        need = width * height * 3
+        if n - i < need:
+            raise ValueError("truncated PPM raster")
+        return (
+            np.frombuffer(content, dtype=np.uint8, count=need, offset=i)
+            .reshape(height, width, 3)
+            .copy()
+        )
+    raise ValueError(f"unsupported image magic {magic!r} (numpy decoder: BMP/PPM)")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP."""
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = (
+        b"BM" + (54 + len(data)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def _decode_any(content: bytes, decoder: str) -> np.ndarray:
+    if decoder == "numpy":
+        return decode_image_np(content)
+    if decoder == "pil":
+        try:
+            from io import BytesIO
+
+            from PIL import Image  # noqa: import-gated optional dependency
+        except ImportError as e:
+            raise NotImplementedError("decoder='pil' requires Pillow") from e
+        return np.asarray(Image.open(BytesIO(content)).convert("RGB"))
+    raise ValueError(f"unknown pixel decoder {decoder!r}")
+
+
+def _pixel_feature(px: np.ndarray, dim: int) -> np.ndarray:
+    """Real image feature: normalized grayscale histogram over `dim` bins
+    -- deterministic, resolution-invariant, computed from decoded pixels."""
+    gray = px.astype(np.float32) @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    return (hist / max(1, gray.size)).astype(np.float32)
+
+
 def extract_features(
     df: DataFrame, dim: int = 32, content_col: str = "content", decoder: str = "stub"
 ) -> DataFrame:
     """media -> (all columns..., feature array<float>).
 
     ``mapInPandas`` with Arrow batches; batch shape = input batch rows, one
-    feature vector per row. decoder='stub' raises (documents the missing
-    native dependency); decoder='fake' is the deterministic test double.
+    feature vector per row. decoder='numpy' REALLY decodes (BMP/PPM) and
+    emits a grayscale-histogram feature; decoder='pil' handles general
+    formats when Pillow is installed; decoder='stub' raises (documents the
+    missing native dependency for other formats); decoder='fake' is the
+    deterministic test double for arbitrary payloads.
     """
-    if decoder not in ("stub", "fake"):
-        raise ValueError("decoder must be 'stub' or 'fake'")
+    if decoder not in DECODERS:
+        raise ValueError(f"decoder must be one of {DECODERS}")
     out_schema = df.schema.simpleString()[7:-1] + f", feature array<float>"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "stub":
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this container); "
-                    "use decoder='fake' for deterministic plumbing tests"
+                    "general media decode requires PIL/ffmpeg (not in this container); "
+                    "use decoder='numpy' for BMP/PPM or decoder='fake' for plumbing tests"
                 )
             pdf = pdf.copy()
-            pdf["feature"] = [ _fake_feature(c, dim) for c in pdf[content_col] ]
+            if decoder == "fake":
+                pdf["feature"] = [_fake_feature(c, dim) for c in pdf[content_col]]
+            else:
+                pdf["feature"] = [
+                    _pixel_feature(_decode_any(c, decoder), dim) for c in pdf[content_col]
+                ]
             yield pdf
 
     return df.mapInPandas(fn, out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "stub") -> DataFrame:
-    """Image resize plumbing: output schema mirrors input with updated meta
-    and re-encoded content. fake: content = sha256 tag + target dims."""
+    """Image resize: output schema mirrors input with updated meta and
+    re-encoded content. decoder='numpy' REALLY resizes (nearest-neighbor
+    index sampling on decoded BMP/PPM pixels, re-encoded as PPM);
+    fake: content = sha256 tag + target dims (plumbing only)."""
+    if decoder not in DECODERS:
+        raise ValueError(f"decoder must be one of {DECODERS}")
     out_schema = df.schema.simpleString()[7:-1]
+
+    def _resize_nn(px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        ri = (np.arange(height) * h // height).clip(0, h - 1)
+        ci = (np.arange(width) * w // width).clip(0, w - 1)
+        return px[ri][:, ci]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "stub":
-                raise NotImplementedError("real image resize requires PIL")
+                raise NotImplementedError(
+                    "general image resize requires PIL; decoder='numpy' handles BMP/PPM"
+                )
             pdf = pdf.copy()
-            pdf["content"] = [
-                hashlib.sha256((c or b"") + f"{width}x{height}".encode()).digest()
-                for c in pdf["content"]
-            ]
+            if decoder == "fake":
+                pdf["content"] = [
+                    hashlib.sha256((c or b"") + f"{width}x{height}".encode()).digest()
+                    for c in pdf["content"]
+                ]
+                mime = None
+            else:
+                pdf["content"] = [
+                    encode_ppm(_resize_nn(_decode_any(c, decoder))) for c in pdf["content"]
+                ]
+                mime = "image/x-portable-pixmap"
             pdf["meta"] = [
                 {**(m if isinstance(m, dict) else m.asDict() if m is not None else {}),
-                 "width": width, "height": height}
+                 "width": width, "height": height,
+                 **({"mime": mime} if mime else {})}
                 for m in pdf["meta"]
             ]
             yield pdf

@@ -1335,18 +1335,27 @@ def q_point_in_polygon(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """REAL image decode end-to-end: each doc's text bytes become the
+    raster of a genuine 4x4 PPM (P6) container, which decoder='numpy'
+    actually parses into pixels before computing the grayscale-histogram
+    feature -- no fake/stub on this path. Rows-only: byte-level image
+    decode has no DuckDB counterpart."""
     from osm_pbf_convert_spark.operators.multimodal import extract_features
 
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.col("text").cast("binary").alias("content"),
+        # header + exactly-padded 48-byte raster = a valid binary PPM
+        F.concat(
+            F.lit("P6\n4 4\n255\n").cast("binary"),
+            F.rpad(F.col("text"), 48, "x").cast("binary"),
+        ).alias("content"),
         F.expr(
-            "named_struct('width', 64, 'height', 64, 'sample_rate', CAST(NULL AS INT), "
-            "'n_frames', CAST(NULL AS INT), 'mime', 'image/png')"
+            "named_struct('width', 4, 'height', 4, 'sample_rate', CAST(NULL AS INT), "
+            "'n_frames', CAST(NULL AS INT), 'mime', 'image/x-portable-pixmap')"
         ).alias("meta"),
     )
-    out = extract_features(media, dim=8, decoder="fake")
+    out = extract_features(media, dim=8, decoder="numpy")
     return out.select("media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
 
 

@@ -281,6 +281,71 @@ class TestMultimodal:
         assert frames["frame_index"].tolist() == [0, 10, 20]
         assert frames["media_id"].nunique() == 1
 
+    def test_numpy_codecs_roundtrip(self):
+        """Pure-numpy BMP and PPM codecs: encode -> decode is pixel-exact
+        (incl. non-multiple-of-4 BMP row padding)."""
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_image_np(multimodal.encode_bmp(px)), px)
+        assert np.array_equal(multimodal.decode_image_np(multimodal.encode_ppm(px)), px)
+        # PPM with comments and multi-whitespace header
+        hdr = b"P6\n# a comment\n 7\t13 \n255\n" + px.tobytes()
+        assert np.array_equal(multimodal.decode_image_np(hdr), px)
+
+    def test_numpy_real_decode_features(self, spark):
+        """decoder='numpy' exercises the FULL path -- real bytes -> real
+        pixels -> histogram feature -- and the same pixels encoded as BMP
+        vs PPM must produce the identical feature vector."""
+        rng = np.random.default_rng(4)
+        px1 = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        px2 = np.zeros((8, 8, 3), dtype=np.uint8)  # all-black: known histogram
+        rows = [
+            (1, "image", multimodal.encode_bmp(px1), (16, 24, None, None, "image/bmp")),
+            (2, "image", multimodal.encode_ppm(px1), (16, 24, None, None, "image/x-portable-pixmap")),
+            (3, "image", multimodal.encode_ppm(px2), (8, 8, None, None, "image/x-portable-pixmap")),
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = (
+            multimodal.extract_features(df, dim=8, decoder="numpy")
+            .toPandas().sort_values("media_id").reset_index(drop=True)
+        )
+        f_bmp, f_ppm, f_black = (np.asarray(v) for v in out["feature"])
+        assert np.array_equal(f_bmp, f_ppm)  # same pixels, either container
+        assert f_black[0] == 1.0 and f_black[1:].sum() == 0  # black -> first bin
+        assert abs(f_bmp.sum() - 1.0) < 1e-6  # normalized histogram
+
+    def test_numpy_real_resize(self, spark):
+        """decoder='numpy' really resamples: output decodes to the target
+        dims with nearest-neighbor-selected source pixels."""
+        px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        df = spark.createDataFrame(
+            [(1, "image", multimodal.encode_bmp(px), (6, 4, None, None, "image/bmp"))],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.resize_images(df, width=3, height=2, decoder="numpy").collect()[0]
+        rp = multimodal.decode_image_np(bytes(out["content"]))
+        assert rp.shape == (2, 3, 3)
+        assert np.array_equal(rp, px[[0, 2]][:, [0, 2, 4]])  # nn index sampling
+        assert out["meta"]["width"] == 3 and out["meta"]["height"] == 2
+
+    def test_numpy_decoder_rejects_unknown_magic(self, media):
+        from pyspark.errors.exceptions.captured import PythonException
+
+        with pytest.raises(PythonException, match="unsupported image magic"):
+            multimodal.extract_features(
+                media.filter("media_id = 1"), decoder="numpy"
+            ).collect()
+
+    def test_pil_decoder_when_available(self, spark):
+        pytest.importorskip("PIL")
+        px = np.random.default_rng(2).integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image", multimodal.encode_bmp(px), (5, 5, None, None, "image/bmp"))],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.extract_features(df, dim=8, decoder="pil").collect()
+        assert len(out[0]["feature"]) == 8
+
 
 @pytest.mark.spark
 class TestCheckpoint:
