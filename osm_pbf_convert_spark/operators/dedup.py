@@ -120,8 +120,14 @@ def minhash_lsh_pairs(
     banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    # merge hint: both sides are the corpus-sized banded table -- the
+    # compressed-columnar scan estimate can sneak a side under the
+    # auto-broadcast threshold, and the row-format hash relation then
+    # explodes ~100x on every executor (measured: exit-52 OOM at 16x bench
+    # volume). A fact-fact self-join must shuffle, never broadcast.
     pairs = (
-        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        a.join(b.hint("merge"), ["band", "bucket"])
+        .filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )
     return pairs
 
@@ -158,14 +164,14 @@ def ngram_jaccard_pairs(
     a = cand_sh.select(F.col(id_col).alias("a"), "sh")
     b = cand_sh.select(F.col(id_col).alias("b"), "sh")
     common = (
-        a.join(b, "sh").filter(F.col("a") < F.col("b"))
+        a.join(b.hint("merge"), "sh").filter(F.col("a") < F.col("b"))
         .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= min_common)
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     out = (
-        common.join(sa, "a").join(sb, "b")
+        common.join(sa.hint("merge"), "a").join(sb.hint("merge"), "b")
         .withColumn("jaccard", F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -190,10 +196,14 @@ def ngram_jaccard_lsh_pairs(
     that holds at 100 TB: candidates scale with true duplicates."""
     cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
     sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("shs"))
+    # merge hints: the shingle-ARRAY side is corpus-sized; its columnar
+    # scan estimate undershoots the exploded row format by ~100x, so the
+    # auto-broadcast threshold would hash-build it on every executor
+    # (measured exit-52 OOM at 16x bench volume, 8 GB executors)
     return (
         cands
-        .join(sh.select(F.col(id_col).alias("a"), F.col("shs").alias("sha")), "a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("shs").alias("shb")), "b")
+        .join(sh.select(F.col(id_col).alias("a"), F.col("shs").alias("sha")).hint("merge"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("shs").alias("shb")).hint("merge"), "b")
         .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
@@ -360,8 +370,9 @@ def simhash_hamming_pairs(
     )
     a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "chunk")
     b_ = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "chunk")
+    # merge hint: corpus-sized self-join (see minhash_lsh_pairs)
     pairs = (
-        a.join(b_, ["band", "chunk"]).filter(F.col("a") < F.col("b"))
+        a.join(b_.hint("merge"), ["band", "chunk"]).filter(F.col("a") < F.col("b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
@@ -443,7 +454,8 @@ def embedding_neardup_pairs(
     withb = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b_ = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = a.join(b_, "bucket").filter(F.col("a") < F.col("b"))
+    # merge hint: corpus-sized self-join carrying full embedding vectors
+    pairs = a.join(b_.hint("merge"), "bucket").filter(F.col("a") < F.col("b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))

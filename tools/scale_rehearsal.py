@@ -1,0 +1,228 @@
+"""10x scale rehearsal: flagship e2e + the dedup family on 16x-replicated
+input, in REAL executor mode (local-cluster), recording per-operator wall
+time, shuffle read/write bytes, peak single-stage shuffle, and spill --
+the evidence that the bench-scale plans hold at an order of magnitude
+more rows (no AQE surprises, no OOM, no cartesian sneaking in).
+
+    python tools/scale_rehearsal.py [--executors 4] [--replicate 16]
+
+Documents are replicated with a PER-REPLICA character translation
+(vowels -> a rotated alphabet slice), so within-replica near-dup
+structure is preserved exactly (both members of a planted pair transform
+identically) while cross-replica similarity collapses below threshold --
+the corpus grows 16x in docs AND in near-dup groups, not into one giant
+duplicate cluster.
+
+Appends a markdown section to BENCH/BASELINE.md and prints one JSON line.
+NEVER run concurrently with other work (single-box timings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rest(spark, path):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}", timeout=20) as r:
+        return json.loads(r.read())
+
+
+def _stage_snapshot(spark):
+    """(totals dict, per-stage shuffle-write list) over COMPLETE stages."""
+    stages = _rest(spark, "/stages?status=complete")
+    tot = {"sw": 0, "sr": 0, "mem_spill": 0, "disk_spill": 0}
+    per = {}
+    for s in stages:
+        key = (s["stageId"], s["attemptId"])
+        per[key] = s.get("shuffleWriteBytes", 0) + s.get("shuffleReadBytes", 0)
+        tot["sw"] += s.get("shuffleWriteBytes", 0)
+        tot["sr"] += s.get("shuffleReadBytes", 0)
+        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
+    return tot, per
+
+
+def _plan_flags(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "cartesian": "CartesianProduct" in plan or "BroadcastNestedLoop" in plan,
+        "aqe": "AdaptiveSparkPlan" in plan,
+    }
+
+
+def measured(spark, name, df, results, mode="noop"):
+    """Force df and attribute wall + shuffle/spill deltas to `name`."""
+    t0, p0 = _stage_snapshot(spark)
+    w0 = time.time()
+    if mode == "noop":
+        df.write.mode("overwrite").format("noop").save()
+    else:
+        df.write.mode("overwrite").parquet(mode)
+    wall = time.time() - w0
+    t1, p1 = _stage_snapshot(spark)
+    new_stages = {k: v for k, v in p1.items() if k not in p0}
+    results[name] = {
+        "wall_s": round(wall, 2),
+        "shuffle_write_mb": round((t1["sw"] - t0["sw"]) / 2**20, 1),
+        "shuffle_read_mb": round((t1["sr"] - t0["sr"]) / 2**20, 1),
+        "peak_stage_shuffle_mb": round(max(new_stages.values(), default=0) / 2**20, 1),
+        "mem_spill_mb": round((t1["mem_spill"] - t0["mem_spill"]) / 2**20, 1),
+        "disk_spill_mb": round((t1["disk_spill"] - t0["disk_spill"]) / 2**20, 1),
+        **_plan_flags(df),
+    }
+    print(f"{name}: {results[name]}", flush=True)
+
+
+def replicate_documents(spark, sf_dir, replicate):
+    """16 textually-distinct replicas: per-replica translate() keeps
+    within-replica pair structure, kills cross-replica similarity."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    parts = []
+    for r in range(replicate):
+        repl = "".join(alphabet[(i * 7 + r) % 26] for i in range(5))
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.translate(F.col("text"), "aeiou", repl).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--executors", type=int, default=4)
+    ap.add_argument("--replicate", type=int, default=16)
+    ap.add_argument("--no-append", action="store_true")
+    args = ap.parse_args()
+
+    from osm_pbf_convert_spark.session import get_spark
+    from osm_pbf_convert_spark.sources.pages import synth_pages
+    from osm_pbf_convert_spark.sources.pbf import decode_entities
+    from osm_pbf_convert_spark.operators.joins import resolve_ways
+    from osm_pbf_convert_spark.operators.tiling import heat_map, tile_pyramid
+    from osm_pbf_convert_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm/spark_graft")
+    os.makedirs(scratch, exist_ok=True)
+    spark = get_spark(
+        "scale-rehearsal",
+        executors=args.executors,
+        shuffle_partitions=32,
+        extra_conf={
+            # the UI REST API is the shuffle/spill metrics source here
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(16 << 20),
+            "spark.hadoop.parquet.block.size": str(16 << 20),
+            "spark.executorEnv.PYTHONPATH": REPO,
+            "spark.local.dir": os.path.join(scratch, "local"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {}
+
+    # ---- input: pages x16 (materialized once, fixed 128-file layout) ----
+    pages_path = os.path.join(scratch, "pages", f"rehearsal_x{args.replicate}")
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synth_pages(spark, args.sf_dir, replicate=args.replicate).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    docs_path = os.path.join(scratch, "docs", f"rehearsal_x{args.replicate}")
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        replicate_documents(spark, args.sf_dir, args.replicate).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    n_corpus = docs.count()
+    print(f"input: {n_docs} pages, {n_corpus} docs, {args.executors} executors", flush=True)
+
+    # ---- flagship e2e stages ----
+    ent_path = os.path.join(scratch, "entities", f"rehearsal_x{args.replicate}")
+    t0 = time.time()
+    measured(
+        spark, "decode",
+        decode_entities(pages.coalesce(args.executors * 2)), results, mode=ent_path,
+    )
+    entities = spark.read.parquet(ent_path)
+    nodes = entities.filter(F.col("kind") == 0).select("url", "id", "lat", "lon", "ilat", "ilon", "tags")
+    ways = entities.filter(F.col("kind") == 1).select("url", "id", "refs", "tags")
+    n_nodes = nodes.count()
+    measured(spark, "join_ways_nodes", resolve_ways(ways.drop("url"), nodes.drop("url"), keep_tags=False), results)
+    measured(spark, "tile_pyramid", tile_pyramid(nodes, max_z=12, min_z=4), results)
+    measured(spark, "heat_map", heat_map(nodes), results)
+    e2e = time.time() - t0
+
+    # ---- dedup family at 16x docs (PRODUCTION xxhash64 flavors) ----
+    measured(spark, "exact_dedup", dedup.exact_dedup(docs), results)
+    measured(spark, "minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5), results)
+    measured(spark, "simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8), results)
+    measured(
+        spark, "ngram_jaccard_lsh",
+        dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16),
+        results,
+    )
+
+    out = {
+        "metric": "10x scale rehearsal (e2e stages + dedup family), executor mode",
+        "sf_dir": args.sf_dir,
+        "replicate": args.replicate,
+        "executors": args.executors,
+        "n_docs": n_docs,
+        "n_nodes": n_nodes,
+        "n_corpus_docs": n_corpus,
+        "e2e_s": round(e2e, 2),
+        "ops": results,
+    }
+    print(json.dumps(out))
+
+    if not args.no_append:
+        lines = [
+            "",
+            f"## 10x scale rehearsal (round 3): sf0.1 x{args.replicate}, "
+            f"{args.executors} executor JVMs",
+            "",
+            f"Input: {n_docs:,} pages / {n_nodes:,} nodes decoded; dedup corpus "
+            f"{n_corpus:,} docs (per-replica `translate()` keeps planted pair "
+            "structure, kills cross-replica similarity). "
+            "`local-cluster[4,2,8192]`, shuffle_partitions=32, 16 MB "
+            "maxPartitionBytes/row-groups (the only conf change vs bench: "
+            "bigger scan splits for 16x the bytes).",
+            "",
+            "| op | wall s | shuffle W MB | shuffle R MB | peak stage MB | spill MB (mem/disk) | cartesian |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, r in results.items():
+            lines.append(
+                f"| {name} | {r['wall_s']} | {r['shuffle_write_mb']} | {r['shuffle_read_mb']} "
+                f"| {r['peak_stage_shuffle_mb']} | {r['mem_spill_mb']}/{r['disk_spill_mb']} "
+                f"| {r['cartesian']} |"
+            )
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
