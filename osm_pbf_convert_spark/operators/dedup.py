@@ -45,6 +45,18 @@ def shingles_col(text, k: int = 5):
     ).otherwise(F.array().cast("array<string>"))
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic Carter-Wegman coefficients (a_i, b_i) in Z_p,
+    p = 2^31-1, a_i != 0 -- shared by the Spark md5-variant minhash and
+    its generated DuckDB oracle SQL."""
+    a = (2654435761 * (i + 1) + 0x9E3779B9) % MERSENNE31 or 1
+    b = (40503 * (i + 7) * 2654435789 + i) % MERSENNE31
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, shingle_k: int = 5, hash_fn: str = "xxhash64",
@@ -52,11 +64,15 @@ def minhash_signatures(
     """(id, sig array[num_hashes]) -- min over shingle hashes per seed.
     One explode + one groupBy with num_hashes min() aggregates.
 
-    hash_fn: "xxhash64" (production default: fastest JVM hash, sig is
-    array<bigint>) or "md5" (sig is array<string> of hex digests; the min
-    over lexicographic hex order IS a valid minhash family -- it equals
-    numeric order on the 128-bit value -- and DuckDB replays it
-    bit-identically, so the correctness oracle uses this variant)."""
+    hash_fn: "xxhash64" (production default: fastest JVM hash) or "md5"
+    (the DuckDB-replayable oracle variant): ONE md5 per shingle supplies
+    a 60-bit base hash x (first 15 hex chars), and the seed family is
+    Carter-Wegman universal hashing h_i = (a_i*x + b_i) mod (2^31-1) --
+    textbook-valid for minhash, pure long arithmetic with no overflow
+    under ANSI mode (a_i, x < 2^31), and replayed bit-identically in SQL.
+    Crucially the mins aggregate over LONGS: min(string) has no
+    fixed-width agg buffer and silently degrades HashAggregate to
+    SortAggregate (measured 3x slower at sf0.1)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
     )
@@ -70,8 +86,16 @@ def minhash_signatures(
             F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
         ]
     elif hash_fn == "md5":
+        sh = sh.withColumn(
+            "x",
+            F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10).cast("long")
+            % F.lit(MERSENNE31),
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"|{i}")).cast("binary"))).alias(f"h{i}")
+            F.min(
+                (F.lit(minhash_coeffs(i)[0]) * F.col("x") + F.lit(minhash_coeffs(i)[1]))
+                % F.lit(MERSENNE31)
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -98,12 +122,14 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
     if hash_fn == "md5":
-        # bucket = the band's hex digests joined -- band id is already a
-        # separate join column, so no re-hash is needed (and DuckDB replays
-        # string concatenation exactly)
+        # bucket = the band's hash values joined as a string -- band id is
+        # already a separate join column, so no re-hash is needed (and
+        # DuckDB replays string concatenation exactly)
         band_arr = F.array(
             *[
-                F.concat_ws("|", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
+                F.concat_ws(
+                    "|", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
+                )
                 for b in range(bands)
             ]
         )

@@ -918,24 +918,29 @@ def q_minhash_pairs(spark, sf_dir):
 
 def _minhash_banded_cte(num_hashes: int, bands: int, shingle_k: int) -> str:
     """CTE chain replaying minhash_lsh_pairs(hash_fn='md5'): distinct
-    k-gram shingles -> per-seed min(md5(sh||'|i')) -> per-band bucket =
-    '|'-joined digests."""
+    k-gram shingles -> 60-bit md5-prefix base hash x -> Carter-Wegman
+    family h_i = (a_i*x + b_i) mod 2^31-1 (same literal coefficients as
+    the Spark side, dedup.minhash_coeffs) -> per-seed min -> per-band
+    bucket = '|'-joined values."""
+    p = dedup.MERSENNE31
     r = num_hashes // bands
     mins = ",\n         ".join(
-        f"min(md5(sh || '|{i}')) AS h{i}" for i in range(num_hashes)
+        f"min(({dedup.minhash_coeffs(i)[0]} * x + {dedup.minhash_coeffs(i)[1]}) % {p}) AS h{i}"
+        for i in range(num_hashes)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, "
         + "concat_ws('|', " + ", ".join(f"h{b * r + i}" for i in range(r)) + ") AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""sh AS (
+    return f"""sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(
            [substr(lower(text), i, {shingle_k}) FOR i IN generate_series(1, greatest(length(text) - {shingle_k - 1}, 0))]
          )) AS sh
   FROM documents
 ),
+sh AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {p} AS x FROM sh0),
 sig AS (
   SELECT doc_id, {mins}
   FROM sh GROUP BY doc_id
