@@ -907,9 +907,9 @@ SELECT CAST(1 AS BIGINT), 'building', COUNT(DISTINCT l_orderkey) FROM lineitem W
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs(spark, sf_dir):
-    # md5 variant: min over lexicographic hex digests is a valid minhash
-    # family (hex order == numeric order on the 128-bit value); xxhash64
-    # stays the production default
+    # md5 variant: Carter-Wegman family (a_i*x + b_i mod 2^31-1) over a
+    # 60-bit md5-prefix base hash -- DuckDB replays it bit-identically;
+    # xxhash64 stays the production default
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5,
         hash_fn="md5",
