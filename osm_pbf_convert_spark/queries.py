@@ -1340,20 +1340,23 @@ def q_point_in_polygon(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """REAL image decode end-to-end: each doc's text bytes become the
-    raster of a genuine 4x4 PPM (P6) container, which decoder='numpy'
-    actually parses into pixels before computing the grayscale-histogram
-    feature -- no fake/stub on this path. Rows-only: byte-level image
-    decode has no DuckDB counterpart."""
+    """REAL image decode end-to-end, fully oracled: each doc's md5 hex
+    (repeated to 48 ASCII bytes) becomes the raster of a genuine 4x4 PPM
+    (P6) container, which decoder='numpy' actually parses into pixels
+    before computing the grayscale-histogram feature -- no fake/stub on
+    this path. Because the raster bytes are ASCII hex chars, DuckDB
+    replays the decode arithmetic with ascii(substr(...)); bin parity of
+    the float32 matmul vs float64 SQL was verified exhaustively over all
+    4096 possible (r,g,b) hex-char pixels (min edge distance 1e-3)."""
     from osm_pbf_convert_spark.operators.multimodal import extract_features
 
     media = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        # header + exactly-padded 48-byte raster = a valid binary PPM
+        # header + 48-byte ASCII raster = a valid binary PPM
         F.concat(
             F.lit("P6\n4 4\n255\n").cast("binary"),
-            F.rpad(F.col("text"), 48, "x").cast("binary"),
+            F.substring(F.repeat(F.md5(F.col("text").cast("binary")), 2), 1, 48).cast("binary"),
         ).alias("content"),
         F.expr(
             "named_struct('width', 4, 'height', 4, 'sample_rate', CAST(NULL AS INT), "
@@ -1361,7 +1364,32 @@ def q_multimodal_features(spark, sf_dir):
         ).alias("meta"),
     )
     out = extract_features(media, dim=8, decoder="numpy")
-    return out.select("media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
+    return out.select(
+        "media_id",
+        *[F.round(F.element_at("feature", j + 1).cast("double"), 6).alias(f"f{j}") for j in range(8)],
+    )
+
+
+def _multimodal_oracle() -> str:
+    """Replays q_multimodal_features: 16 pixels from the 48 ASCII hex
+    chars, gray = 0.299r+0.587g+0.114b, 8 histogram bins of width 32
+    (counts/16 are exact in both engines; bin parity proven exhaustively)."""
+    gray = ("0.299*ascii(substr(hx, 3*i+1, 1)) + 0.587*ascii(substr(hx, 3*i+2, 1)) "
+            "+ 0.114*ascii(substr(hx, 3*i+3, 1))")
+    fcols = ",\n       ".join(
+        f"ROUND(len(list_filter(bins, x -> x = {j})) / 16.0, 6) AS f{j}" for j in range(8)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, substr(repeat(md5(text), 2), 1, 48) AS hx FROM documents),
+g AS (
+  SELECT doc_id,
+         [LEAST(CAST(FLOOR(({gray}) / 32) AS INT), 7) FOR i IN generate_series(0, 15)] AS bins
+  FROM h
+)
+SELECT doc_id AS media_id,
+       {fcols}
+FROM g
+"""
 
 
 
@@ -1547,7 +1575,6 @@ QUERIES = {
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "embedding_neardup": q_embedding_neardup,
-    # rows-only (deterministic fake decoder; media libs absent)
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1596,4 +1623,5 @@ ORACLES = {
     "simhash_hamming_pairs": _Q_SIMHASH_HAMMING_ORACLE,
     "ngram_jaccard_lsh": _Q_NGRAM_LSH_ORACLE,
     "embedding_neardup": _embedding_neardup_oracle(),
+    "multimodal_features": _multimodal_oracle(),
 }
