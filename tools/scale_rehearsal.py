@@ -13,7 +13,8 @@ identically) while cross-replica similarity collapses below threshold --
 the corpus grows 16x in docs AND in near-dup groups, not into one giant
 duplicate cluster.
 
-Appends a markdown section to BENCH/BASELINE.md and prints one JSON line.
+Appends a markdown section to BENCH/NOTES.md (folded into BASELINE.md
+by tools/scaling.py on regeneration) and prints one JSON line.
 NEVER run concurrently with other work (single-box timings).
 """
 
@@ -219,7 +220,7 @@ def main():
                 f"| {r['peak_stage_shuffle_mb']} | {r['mem_spill_mb']}/{r['disk_spill_mb']} "
                 f"| {r['cartesian']} |"
             )
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        with open(os.path.join(REPO, "BENCH", "NOTES.md"), "a") as f:
             f.write("\n".join(lines) + "\n")
     spark.stop()
 
