@@ -68,9 +68,10 @@ def main():
     ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
     ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
     ap.add_argument("--dat", action="store_true",
-                    help="nodes-index: additionally emit the reference's "
-                         ".nodes.dat/.idx byte files (NodesIndex.cs parity "
-                         "artifact; the Parquet store stays the query path)")
+                    help="nodes-index / ways-file: additionally emit the "
+                         "reference's byte files (NodesIndex.cs / "
+                         "WaysDataFile.cs parity artifacts; the Parquet "
+                         "stores stay the query path)")
     args = ap.parse_args()
 
     spark = _spark(args.verb)
@@ -146,6 +147,17 @@ def main():
         _ways(spark, args.pages).select("id", "refs", "tags").write.mode(
             "overwrite"
         ).parquet(f"{out}/ways")
+        if args.dat:
+            from osm_pbf_convert_spark.operators.joins import resolve_ways
+            from osm_pbf_convert_spark.operators.way_store import write_ways_file
+
+            resolved = resolve_ways(
+                _ways(spark, args.pages).select("id", "refs"),
+                _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+                keep_tags=False,
+            )
+            nd, ni = write_ways_file(resolved, f"{out}/ways.dat")
+            print(f"wrote {nd} dat bytes, {ni} idx bytes")
 
     elif args.verb == "merge-rel":
         from osm_pbf_convert_spark.operators.joins import assemble_relations, resolve_ways
