@@ -68,10 +68,10 @@ def main():
     ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
     ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
     ap.add_argument("--dat", action="store_true",
-                    help="nodes-index / ways-file: additionally emit the "
-                         "reference's byte files (NodesIndex.cs / "
-                         "WaysDataFile.cs parity artifacts; the Parquet "
-                         "stores stay the query path)")
+                    help="nodes-index / ways-file / merge-rel: additionally "
+                         "emit the reference's byte files (NodesIndex.cs / "
+                         "WaysDataFile.cs / RelationsProcessor.cs parity "
+                         "artifacts; the Parquet stores stay the query path)")
     args = ap.parse_args()
 
     spark = _spark(args.verb)
@@ -168,9 +168,13 @@ def main():
         rels = decode_relations(spark.read.parquet(args.pages), on_error="skip").select(
             "id", "members"
         )
-        assemble_relations(rels, nodes, resolve_ways(ways, nodes, keep_tags=False)).write.mode(
-            "overwrite"
-        ).parquet(f"{out}/relations")
+        assembled = assemble_relations(rels, nodes, resolve_ways(ways, nodes, keep_tags=False))
+        assembled.write.mode("overwrite").parquet(f"{out}/relations")
+        if args.dat:
+            from osm_pbf_convert_spark.operators.rel_store import write_rels_file
+
+            nd, ns = write_rels_file(assembled, f"{out}/relations.rels")
+            print(f"wrote {nd} rels bytes, {ns} strings bytes")
 
     print("Done!")
     spark.stop()
