@@ -68,10 +68,11 @@ def main():
     ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
     ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
     ap.add_argument("--dat", action="store_true",
-                    help="nodes-index / ways-file / merge-rel: additionally "
-                         "emit the reference's byte files (NodesIndex.cs / "
-                         "WaysDataFile.cs / RelationsProcessor.cs parity "
-                         "artifacts; the Parquet stores stay the query path)")
+                    help="nodes-index / ways-file / merge-rel / spatial: "
+                         "additionally emit the reference's byte files "
+                         "(NodesIndex / WaysDataFile / RelationsProcessor / "
+                         "SpatialBlock parity artifacts; the Parquet stores "
+                         "stay the query path)")
     args = ap.parse_args()
 
     spark = _spark(args.verb)
@@ -142,6 +143,15 @@ def main():
             _nodes(spark, args.pages).select("id", "ilat", "ilon"),
             f"{out}/spatial", z=args.zoom,
         )
+        if args.dat:
+            from osm_pbf_convert_spark.operators.spatial_block import write_spatial_blocks
+
+            n = write_spatial_blocks(
+                f"{out}/spatial_blocks",
+                nodes=_nodes(spark, args.pages).select("id", "ilat", "ilon"),
+                z=args.zoom,
+            )
+            print(f"wrote {n} block files")
 
     elif args.verb == "ways-file":
         _ways(spark, args.pages).select("id", "refs", "tags").write.mode(
