@@ -1,0 +1,85 @@
+"""Distributed readers for reference byte files: write with the engine's
+golden-tested sinks, read back distributed, compare to the source rows."""
+
+import numpy as np
+import pytest
+
+from osm_pbf_convert_spark.sources.reference_files import (
+    _parse_nodes_idx,
+    read_nodes_index,
+    read_ways_file,
+)
+
+
+@pytest.mark.spark
+class TestNodesIndexReader:
+    def test_roundtrip_distributed(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.node_store import write_nodes_index_file
+
+        rng = np.random.default_rng(41)
+        ids = np.cumsum(rng.integers(1, 1 << 18, size=4000)) + 7
+        lats = rng.integers(-(2**31) + 1, 2**31 - 1, size=4000)
+        lons = rng.integers(-(2**31) + 1, 2**31 - 1, size=4000)
+        df = spark.createDataFrame(
+            list(zip(ids.tolist(), lats.tolist(), lons.tolist())),
+            schema="id long, ilat long, ilon long",
+        )
+        prefix = str(tmp_path / "store")
+        write_nodes_index_file(df, prefix, num_chunks=3)
+
+        back = read_nodes_index(spark, prefix).orderBy("id").toPandas()
+        assert back["id"].tolist() == ids.tolist()
+        assert back["ilat"].tolist() == lats.tolist()
+        assert back["ilon"].tolist() == lons.tolist()
+        # the reader really fans out: one range per index sync point
+        starts, _ = _parse_nodes_idx(open(f"{prefix}.idx", "rb").read())
+        assert len(starts) >= 4  # several blocks -> parallel ranges
+
+    def test_reader_matches_pure_python_writer(self, spark, tmp_path):
+        """Reads files produced by the REFERENCE writer semantics (the
+        pure-Python port), not just our sink."""
+        from osm_pbf_convert_spark.operators.node_store import encode_nodes_index_py
+
+        rng = np.random.default_rng(3)
+        ids = np.cumsum(rng.integers(1, 1 << 16, size=1500)) + 1
+        lats = rng.integers(-(2**20), 2**20, size=1500)
+        lons = rng.integers(-(2**20), 2**20, size=1500)
+        dat, idx = encode_nodes_index_py(ids, lats, lons)
+        prefix = str(tmp_path / "ref")
+        open(f"{prefix}.nodes.dat", "wb").write(dat)
+        open(f"{prefix}.idx", "wb").write(idx)
+        back = read_nodes_index(spark, prefix).orderBy("id").toPandas()
+        assert back["id"].tolist() == ids.tolist()
+
+
+@pytest.mark.spark
+class TestWaysFileReader:
+    def test_roundtrip_distributed(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.way_store import encode_ways_file_py
+
+        rng = np.random.default_rng(8)
+        wid = np.cumsum(rng.integers(1, 1 << 14, size=500)) + 2
+        ways = []
+        for i in range(500):
+            k = int(rng.integers(1, 7))
+            nid = np.cumsum(rng.integers(1, 1 << 20, size=k))
+            ways.append(
+                (int(wid[i]),
+                 list(zip(nid.tolist(),
+                          rng.integers(-(2**30), 2**30, size=k).tolist(),
+                          rng.integers(-(2**30), 2**30, size=k).tolist())))
+            )
+        dat, info = encode_ways_file_py(ways)
+        path = str(tmp_path / "w.dat")
+        open(path, "wb").write(dat)
+        open(path + ".idx", "wb").write(info)
+
+        back = read_ways_file(spark, path, ways_per_split=120).orderBy("id").collect()
+        assert len(back) == 500
+        got = [
+            (r["id"], [(nd["id"], nd["ilat"], nd["ilon"]) for nd in r["nodes"]])
+            for r in back
+        ]
+        assert got == ways
+        # multiple splits -> the id chain re-seeding path is exercised
+        assert (500 + 119) // 120 >= 4
