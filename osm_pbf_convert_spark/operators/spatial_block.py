@@ -291,3 +291,155 @@ def write_spatial_blocks(
             out.close()
         count += 1
     return count
+
+
+def decode_spatial_block_py(blob: bytes):
+    """Sequential reader port (mirrors ``ReadAllNodes/Ways/Rels``) for
+    roundtrip tests and the distributed directory reader: returns
+    ``(nodes, ways, rels)`` in the writer's tuple shapes, with tags as
+    the 3-form dicts."""
+    pos, n = 0, len(blob)
+
+    def varint():
+        nonlocal pos
+        v = 0
+        while True:
+            b = blob[pos]
+            pos += 1
+            v = (v << 7) | (b & 0x7F)
+            if not b & 0x80:
+                return v
+
+    def unzz(v: int) -> int:
+        return (v >> 1) ^ -(v & 1)
+
+    def read_string() -> str:
+        nonlocal pos
+        ln = 0
+        shift = 0
+        while True:  # .NET LSB-first 7-bit length
+            b = blob[pos]
+            pos += 1
+            ln |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        s = blob[pos : pos + ln].decode("utf-8")
+        pos += ln
+        return s
+
+    def read_tags():
+        cnt = varint()
+        tags = []
+        for _ in range(cnt):
+            marker = blob[pos_ref()]
+            advance()
+            if marker == 1:
+                tags.append({"tag_id": varint(), "key_id": None, "key": None, "value": None})
+            elif marker == 2:
+                kid = varint()
+                tags.append({"tag_id": None, "key_id": kid, "key": None, "value": read_string()})
+            elif marker == 3:
+                k = read_string()
+                tags.append({"tag_id": None, "key_id": None, "key": k, "value": read_string()})
+            else:
+                raise ValueError(f"bad tag marker {marker}")
+        return tags
+
+    def pos_ref():
+        return pos
+
+    def advance():
+        nonlocal pos
+        pos += 1
+
+    nodes, ways, rels = [], [], []
+    # nodes section: terminated by a zero id-delta byte (the separator)
+    lid = lla = llo = 0
+    while pos < n:
+        v = varint()
+        if v == 0:
+            break
+        lid += unzz(v)
+        lla += unzz(varint())
+        llo += unzz(varint())
+        nodes.append((lid, lla, llo, read_tags()))
+    # ways section
+    wid = 0
+    while pos < n:
+        v = varint()
+        if v == 0:
+            break
+        wid += unzz(v)
+        wtype = varint()
+        cnt = varint()
+        ln = la = lo = 0
+        wnodes = []
+        for _ in range(cnt):
+            ln += unzz(varint())
+            la += unzz(varint())
+            lo += unzz(varint())
+            wnodes.append((ln, la, lo))
+        ways.append((wid, wtype, wnodes, read_tags()))
+    # rels section (shared mid chain quirk mirrored)
+    rid = 0
+    rmid = 0
+    while pos < n:
+        rid += unzz(varint())
+        position = varint()
+        rel_type = varint()
+        role_id = varint()
+        rmid += unzz(varint())
+        mid_lat = rmid
+        rmid += unzz(varint())
+        mid_lon = rmid
+        item_type = varint()
+        item_id = varint()
+        rels.append((rid, position, rel_type, role_id, mid_lat, mid_lon,
+                     item_type, item_id, read_tags()))
+    return nodes, ways, rels
+
+
+def read_spatial_blocks(spark, block_dir: str) -> DataFrame:
+    """Distributed reader over a directory of reference block files: one
+    task per block (tiles are independent by construction). Returns the
+    unified entity frame (kind 0/1/2 with the writer's column roles)."""
+    import glob as _glob
+    import os
+    import re as _re
+
+    import pandas as pd
+
+    files = sorted(_glob.glob(os.path.join(block_dir, "block_*.dat")))
+    if not files:
+        raise FileNotFoundError(f"no block_*.dat under {block_dir}")
+    fdf = spark.createDataFrame(
+        [(int(_re.search(r"block_(-?\d+)\.dat$", f).group(1)), f) for f in files],
+        schema="tile long, path string",
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for tile, path in zip(pdf["tile"], pdf["path"]):
+                with open(path, "rb") as f:
+                    nds, wys, rls = decode_spatial_block_py(f.read())
+                rows = []
+                for i, la, lo, tags in nds:
+                    rows.append((int(tile), 0, i, la, lo, None, None, None, None, None, None, None, tags))
+                for i, ty, wn, tags in wys:
+                    rows.append((int(tile), 1, i, ty, None, None, None, None, None,
+                                 [{"id": a, "ilat": b, "ilon": c} for a, b, c in wn], None, None, tags))
+                for i, p_, rt, ro, mla, mlo, it, ii, tags in rls:
+                    rows.append((int(tile), 2, i, p_, rt, ro, mla, mlo, ii, None, it, None, tags))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["tile", "kind", "id", "v1", "v2", "v3", "v4", "v5",
+                             "v6", "wnodes", "item_type", "pad", "tags"],
+                ).drop(columns=["pad"])
+
+    schema = (
+        "tile long, kind int, id long, v1 long, v2 long, v3 long, v4 long, "
+        "v5 long, v6 long, wnodes array<struct<id:long,ilat:long,ilon:long>>, "
+        "item_type long, tags " + TAGS_SCHEMA
+    )
+    return fdf.repartition(len(files), "tile").mapInPandas(decode, schema=schema)

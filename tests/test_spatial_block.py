@@ -156,6 +156,48 @@ class TestDistributedSink:
             got = open(f"{out}/block_{tile}.dat", "rb").read()
             assert got == golden, f"tile {tile} mismatch"
 
+    def test_reader_roundtrip_distributed(self, spark, tmp_path):
+        """write_spatial_blocks -> read_spatial_blocks recovers every
+        entity (ids per kind per tile), one task per block file."""
+        from osm_pbf_convert_spark.operators.spatial_block import read_spatial_blocks
+
+        rng = np.random.default_rng(7)
+        nodes, ways, rels = _synth_entities(rng, 80, 30, 12)
+        z = 2
+        ndf = spark.createDataFrame(
+            [(i, la, lo, t) for i, la, lo, t in nodes],
+            schema="id long, ilat int, ilon int, tags array<struct<tag_id:int,key_id:int,key:string,value:string>>",
+        )
+        wdf = spark.createDataFrame(
+            [
+                (i, ty, [{"id": a, "ilat": b, "ilon": c} for a, b, c in wn],
+                 int(np.trunc(np.mean([b for _, b, _ in wn]))),
+                 int(np.trunc(np.mean([c for _, _, c in wn]))), t)
+                for i, ty, wn, t in ways
+            ],
+            schema="id long, way_type int, nodes array<struct<id:long,ilat:long,ilon:long>>, "
+                   "mid_ilat int, mid_ilon int, tags array<struct<tag_id:int,key_id:int,key:string,value:string>>",
+        )
+        rdf = spark.createDataFrame(
+            [(i, p, rt, ro, la, lo, it, ii, t) for i, p, rt, ro, la, lo, it, ii, t in rels],
+            schema="id long, position int, rel_type int, role_id int, mid_ilat int, "
+                   "mid_ilon int, item_type int, item_id long, tags array<struct<tag_id:int,key_id:int,key:string,value:string>>",
+        )
+        out = str(tmp_path / "blocks_rt")
+        write_spatial_blocks(out, nodes=ndf, ways=wdf, rels=rdf, z=z)
+        back = read_spatial_blocks(spark, out)
+        got_nodes = {r["id"] for r in back.filter("kind = 0").collect()}
+        got_ways = {r["id"]: r for r in back.filter("kind = 1").collect()}
+        got_rels = {r["id"] for r in back.filter("kind = 2").collect()}
+        assert got_nodes == {i for i, *_ in nodes}
+        assert set(got_ways) == {i for i, *_ in ways}
+        assert got_rels == {i for i, *_ in rels}
+        # way node lists survive exactly
+        for i, ty, wn, _ in ways:
+            r = got_ways[i]
+            assert [(nd["id"], nd["ilat"], nd["ilon"]) for nd in r["wnodes"]] == wn
+            assert r["v1"] == ty
+
     def test_blobs_plan_is_grouped_map(self, spark):
         ndf = spark.createDataFrame(
             [(1, 5, 5, None)], schema="id long, ilat int, ilon int, "
