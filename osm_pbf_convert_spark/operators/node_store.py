@@ -136,8 +136,12 @@ def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> Data
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE output row per partition: accumulating the batch outputs
+        # cuts the driver's toLocalIterator row count from hundreds to
+        # num_chunks (measured: per-row streaming overhead dominated the
+        # sink wall at 7M+ nodes)
         prev_id = prev_lat = prev_lon = 0
-        fresh = True
+        acc: dict = {"ids": [], "ilats": [], "ilons": [], "lens": [], "blob": []}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -166,20 +170,33 @@ def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> Data
                 g += (flat >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
             lens = g.reshape(-1, 3).sum(axis=1)
             blob = encode_varints_msb_np(flat)
+            # arrays ship as raw little-endian buffers: the driver
+            # np.frombuffer's them -- array<long> Rows would force tens of
+            # millions of Python-object conversions in the splice loop
+            acc["ids"].append(ids.astype("<i8").tobytes())
+            acc["ilats"].append(lats.astype("<i8").tobytes())
+            acc["ilons"].append(lons.astype("<i8").tobytes())
+            acc["lens"].append(lens.astype("<i8").tobytes())
+            acc["blob"].append(blob)
+            prev_id, prev_lat, prev_lon = int(ids[-1]), int(lats[-1]), int(lons[-1])
+        if acc["ids"]:
+            ids_buf = b"".join(acc["ids"])
             yield pd.DataFrame(
                 {
-                    "ids": [ids], "ilats": [lats], "ilons": [lons],
-                    "lens": [lens.astype(np.int32)],
-                    "blob": [blob], "fresh": [fresh],
+                    "first_id": [int(np.frombuffer(ids_buf[:8], dtype="<i8")[0])],
+                    "ids": [ids_buf],
+                    "ilats": [b"".join(acc["ilats"])],
+                    "ilons": [b"".join(acc["ilons"])],
+                    "lens": [b"".join(acc["lens"])],
+                    "blob": [b"".join(acc["blob"])],
+                    "fresh": [True],
                 }
             )
-            prev_id, prev_lat, prev_lon = int(ids[-1]), int(lats[-1]), int(lons[-1])
-            fresh = False
 
     return df.mapInPandas(
         encode,
-        schema="ids array<long>, ilats array<long>, ilons array<long>, "
-               "lens array<int>, blob binary, fresh boolean",
+        schema="first_id long, ids binary, ilats binary, ilons binary, "
+               "lens binary, blob binary, fresh boolean",
     )
 
 
@@ -202,6 +219,14 @@ def write_nodes_index_file(
         path = jvm.org.apache.hadoop.fs.Path(path_str)
         return path.getFileSystem(hconf).create(path, True)
 
+    # materialize the segments with a fully PARALLEL job first --
+    # toLocalIterator alone would run the encode one partition at a time
+    # while the driver consumes (measured ~2.5x the parallel encode wall);
+    # the driver then merely streams pre-computed rows off disk in order
+    seg_path = f"{out_prefix}.segments.tmp"
+    node_index_segments(nodes, num_chunks).write.mode("overwrite").parquet(seg_path)
+    segments = spark.read.parquet(seg_path).orderBy("first_id")
+
     dat_out = _create(f"{out_prefix}.nodes.dat")
     idx_out = _create(f"{out_prefix}.idx")
     pos = 0
@@ -211,11 +236,11 @@ def write_nodes_index_file(
     dat_total = idx_total = 0
     seen_any = False
     try:
-        for row in node_index_segments(nodes, num_chunks).toLocalIterator():
-            ids = np.asarray(row["ids"], dtype=np.int64)
-            lats = np.asarray(row["ilats"], dtype=np.int64)
-            lons = np.asarray(row["ilons"], dtype=np.int64)
-            lens = np.asarray(row["lens"], dtype=np.int64)
+        for row in segments.toLocalIterator():
+            ids = np.frombuffer(bytes(row["ids"]), dtype="<i8")
+            lats = np.frombuffer(bytes(row["ilats"]), dtype="<i8")
+            lons = np.frombuffer(bytes(row["ilons"]), dtype="<i8")
+            lens = np.frombuffer(bytes(row["lens"]), dtype="<i8").copy()
             blob = bytes(row["blob"])
             if seen_any and ids[0] <= prev_id:
                 raise ValueError("ids must be globally unique ascending")
@@ -223,41 +248,62 @@ def write_nodes_index_file(
             # original blob offsets (before any replacement)
             orig_starts = np.zeros(ids.size + 1, dtype=np.int64)
             np.cumsum(lens, out=orig_starts[1:])
-            repl: dict[int, bytes] = {}
-            if row["fresh"]:
-                # partition seam: record 0 was encoded against (0,0,0)
-                repl[0] = _record_bytes(
-                    int(ids[0]) - prev_id, int(lats[0]) - prev_lat, int(lons[0]) - prev_lon
-                )
-                lens = lens.copy()
-                lens[0] = len(repl[0])
-            # spliced stream positions (updated as replacements land)
+            # UNPATCHED stream positions (pos + exclusive cumsum); patches
+            # never mutate this array -- each patch's length delta joins a
+            # running `shift` that applies to every index AFTER the last
+            # patch, so boundary lookups are searchsorted(boundary - shift)
+            # with `lo` past the patches. (The previous tail-update
+            # `starts[j+1:] += diff` was O(chunk) PER 4KB RESET -- billions
+            # of element writes at 7M+ nodes; this is O(log chunk).)
             starts = np.zeros(ids.size, dtype=np.int64)
             starts[0] = pos
             np.cumsum(lens[:-1], out=starts[1:])
             starts[1:] += pos
+            repl: dict[int, bytes] = {}
+            shift = 0
+            lo = 0
+
+            idx_buf = bytearray()  # batched: one py4j write per chunk,
+            # not one per 4KB reset (py4j round-trips dominated the splice)
+
+            def patch(j: int, new: bytes, is_reset: bool, boundary: int | None):
+                nonlocal shift, lo, last_index_id, last_reset
+                repl[j] = new
+                if is_reset:
+                    offset = int(starts[j]) + shift - boundary
+                    if not 0 <= offset <= 255:
+                        raise AssertionError("record straddle exceeds byte offset")
+                    idx_buf.append(offset)
+                    idx_buf.extend(encode_varints_msb([int(ids[j]) - last_index_id]))
+                    last_index_id = int(ids[j])
+                    last_reset = boundary
+                shift += len(new) - int(lens[j])
+                lo = j + 1
+
+            # record 0: reset (start already past the pending boundary --
+            # the previous chunk's last record straddled it) overrides the
+            # seam patch; otherwise the seam patch re-encodes the deltas
+            if pos >= last_reset + block_size:
+                patch(
+                    0, _record_bytes(int(ids[0]), int(lats[0]), int(lons[0])),
+                    True, last_reset + block_size,
+                )
+            elif row["fresh"]:
+                patch(
+                    0,
+                    _record_bytes(
+                        int(ids[0]) - prev_id, int(lats[0]) - prev_lat, int(lons[0]) - prev_lon
+                    ),
+                    False, None,
+                )
             while True:
                 boundary = last_reset + block_size
-                j = int(np.searchsorted(starts, boundary, side="left"))
+                j = int(np.searchsorted(starts, boundary - shift, side="left", sorter=None))
+                j = max(j, lo)
                 if j >= ids.size:
                     break
                 # reset: record j re-encodes against (0,0,0) = absolutes
-                new = _record_bytes(int(ids[j]), int(lats[j]), int(lons[j]))
-                diff = len(new) - int(lens[j])
-                repl[j] = new
-                if j == 0 and not row["fresh"]:
-                    lens = lens.copy()
-                lens[j] = len(new)
-                if diff:
-                    starts[j + 1:] += diff
-                offset = int(starts[j]) - boundary
-                if not 0 <= offset <= 255:
-                    raise AssertionError("record straddle exceeds byte offset")
-                entry = bytes([offset]) + encode_varints_msb([int(ids[j]) - last_index_id])
-                idx_out.write(bytearray(entry))
-                idx_total += len(entry)
-                last_index_id = int(ids[j])
-                last_reset = boundary
+                patch(j, _record_bytes(int(ids[j]), int(lats[j]), int(lons[j])), True, boundary)
             # assemble: blob slices between replaced records + replacements
             pieces = []
             cursor = 0
@@ -270,10 +316,15 @@ def write_nodes_index_file(
             chunk = b"".join(pieces)
             dat_out.write(bytearray(chunk))
             dat_total += len(chunk)
-            pos = int(starts[-1]) + int(lens[-1])
+            if idx_buf:
+                idx_out.write(idx_buf)
+                idx_total += len(idx_buf)
+            pos += int(orig_starts[-1]) + shift
             assert pos == dat_total, "position bookkeeping diverged"
             prev_id, prev_lat, prev_lon = int(ids[-1]), int(lats[-1]), int(lons[-1])
     finally:
         dat_out.close()
         idx_out.close()
+        sp = jvm.org.apache.hadoop.fs.Path(seg_path)
+        sp.getFileSystem(hconf).delete(sp, True)
     return dat_total, idx_total

@@ -111,7 +111,8 @@ class TestDistributedSink:
         plan = seg._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         rows = seg.collect()
-        assert sum(len(r["ids"]) for r in rows) == 1000
+        # ids ship as raw little-endian int64 buffers (8 bytes per id)
+        assert sum(len(r["ids"]) // 8 for r in rows) == 1000
         # every blob is pure varint bytes: last byte of each record has
         # the continuation bit clear
         assert all(r["blob"][-1] < 0x80 for r in rows)
