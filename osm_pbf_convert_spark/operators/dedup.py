@@ -177,6 +177,19 @@ def ngram_jaccard_pairs(
     silently losing recall in a dedup pipeline retains duplicates, the
     worse failure. For corpora where candidate generation is the wall,
     ``ngram_jaccard_lsh_pairs`` is the scale path."""
+    if max_doc_freq is None:
+        # plan-time pointer, not a data-dependent check: measuring the
+        # actual shingle doc-frequency here would trigger an eager job
+        # inside a lazy transformation
+        import warnings
+
+        warnings.warn(
+            "ngram_jaccard_pairs without max_doc_freq generates O(df^2) "
+            "candidate pairs per stop-shingle; set max_doc_freq or use "
+            "ngram_jaccard_lsh_pairs on large/templated corpora",
+            ResourceWarning,
+            stacklevel=2,
+        )
     sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     cand_sh = sh

@@ -110,7 +110,11 @@ def decode_nodes_index_py(dat: bytes, block_size: int = BLOCK_SIZE):
     return ids, lats, lons
 
 
-def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> DataFrame:
+def node_index_segments(
+    nodes: DataFrame,
+    num_chunks: int | None = None,
+    max_nodes_per_row: int = 16_000_000,
+) -> DataFrame:
     """Distributed encode stage: range-partition by id, then emit one row
     per Arrow batch with the batch's records FULLY VARINT-ENCODED as one
     blob (vectorized numpy) plus the raw values and per-record lengths the
@@ -136,12 +140,39 @@ def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> Data
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # ONE output row per partition: accumulating the batch outputs
+        # ONE output row per partition (accumulating the batch outputs
         # cuts the driver's toLocalIterator row count from hundreds to
-        # num_chunks (measured: per-row streaming overhead dominated the
-        # sink wall at 7M+ nodes)
+        # num_chunks; measured: per-row streaming overhead dominated the
+        # sink wall at 7M+ nodes) -- UNLESS the partition is huge: each
+        # long buffer is 8 B/node, so a single-row partition of ~250M+
+        # nodes would blow the ~2 GB Arrow binary-value limit. Rows are
+        # flushed at a bytes cap instead; only a partition's FIRST row is
+        # `fresh` (later rows continue its delta chains, which the driver
+        # splice already handles via the running prev_* state).
         prev_id = prev_lat = prev_lon = 0
         acc: dict = {"ids": [], "ilats": [], "ilons": [], "lens": [], "blob": []}
+        acc_nodes = 0
+        first_row = True
+
+        def flush():
+            nonlocal acc, acc_nodes, first_row
+            ids_buf = b"".join(acc["ids"])
+            row = pd.DataFrame(
+                {
+                    "first_id": [int(np.frombuffer(ids_buf[:8], dtype="<i8")[0])],
+                    "ids": [ids_buf],
+                    "ilats": [b"".join(acc["ilats"])],
+                    "ilons": [b"".join(acc["ilons"])],
+                    "lens": [b"".join(acc["lens"])],
+                    "blob": [b"".join(acc["blob"])],
+                    "fresh": [first_row],
+                }
+            )
+            acc = {"ids": [], "ilats": [], "ilons": [], "lens": [], "blob": []}
+            acc_nodes = 0
+            first_row = False
+            return row
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -178,20 +209,12 @@ def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> Data
             acc["ilons"].append(lons.astype("<i8").tobytes())
             acc["lens"].append(lens.astype("<i8").tobytes())
             acc["blob"].append(blob)
+            acc_nodes += ids.size
             prev_id, prev_lat, prev_lon = int(ids[-1]), int(lats[-1]), int(lons[-1])
+            if acc_nodes >= max_nodes_per_row:
+                yield flush()
         if acc["ids"]:
-            ids_buf = b"".join(acc["ids"])
-            yield pd.DataFrame(
-                {
-                    "first_id": [int(np.frombuffer(ids_buf[:8], dtype="<i8")[0])],
-                    "ids": [ids_buf],
-                    "ilats": [b"".join(acc["ilats"])],
-                    "ilons": [b"".join(acc["ilons"])],
-                    "lens": [b"".join(acc["lens"])],
-                    "blob": [b"".join(acc["blob"])],
-                    "fresh": [True],
-                }
-            )
+            yield flush()
 
     return df.mapInPandas(
         encode,
@@ -202,7 +225,7 @@ def node_index_segments(nodes: DataFrame, num_chunks: int | None = None) -> Data
 
 def write_nodes_index_file(
     nodes: DataFrame, out_prefix: str, num_chunks: int | None = None,
-    block_size: int = BLOCK_SIZE,
+    block_size: int = BLOCK_SIZE, max_nodes_per_row: int = 16_000_000,
 ) -> tuple[int, int]:
     """Assemble ``{out_prefix}.nodes.dat`` + ``{out_prefix}.idx``
     byte-identical to the reference writer (golden-tested against
@@ -224,7 +247,9 @@ def write_nodes_index_file(
     # while the driver consumes (measured ~2.5x the parallel encode wall);
     # the driver then merely streams pre-computed rows off disk in order
     seg_path = f"{out_prefix}.segments.tmp"
-    node_index_segments(nodes, num_chunks).write.mode("overwrite").parquet(seg_path)
+    node_index_segments(nodes, num_chunks, max_nodes_per_row).write.mode(
+        "overwrite"
+    ).parquet(seg_path)
     segments = spark.read.parquet(seg_path).orderBy("first_id")
 
     dat_out = _create(f"{out_prefix}.nodes.dat")

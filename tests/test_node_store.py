@@ -83,6 +83,31 @@ class TestDistributedSink:
         assert idx == golden_idx
         assert (n_dat, n_idx) == (len(dat), len(idx))
 
+    def test_multi_row_segments_byte_equal(self, spark, tmp_path):
+        """A partition bigger than the bytes cap emits several segment
+        rows (fresh only on the first); the spliced file must stay
+        byte-identical -- this is the 2 GB Arrow-limit guard for 50M+
+        node partitions."""
+        ids, lats, lons = _synth_nodes(5000, seed=19)
+        golden_dat, golden_idx = encode_nodes_index_py(ids, lats, lons)
+        df = spark.createDataFrame(
+            list(zip(ids.tolist(), lats.tolist(), lons.tolist())),
+            schema="id long, ilat long, ilon long",
+        )
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        try:
+            seg = node_index_segments(df, num_chunks=2, max_nodes_per_row=700)
+            rows = seg.collect()
+            assert len(rows) > 2  # forced multiple rows per partition
+            assert sum(1 for r in rows if r["fresh"]) == 2  # one per partition
+            prefix = str(tmp_path / "capped")
+            write_nodes_index_file(df, prefix, num_chunks=2, max_nodes_per_row=700)
+            assert open(f"{prefix}.nodes.dat", "rb").read() == golden_dat
+            assert open(f"{prefix}.idx", "rb").read() == golden_idx
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
     def test_unsorted_input_is_sorted_by_sink(self, spark, tmp_path):
         """The sink owns the sort (repartitionByRange + sortWithinPartitions):
         shuffled input produces the same bytes."""

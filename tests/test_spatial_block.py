@@ -92,6 +92,50 @@ class TestPurePython:
         assert unzz(vals[9 + 4]) == 300 - 250
         assert unzz(vals[9 + 5]) == -50 - 300
 
+    def test_rels_without_ways_backtrack(self):
+        """The byte format writes ONE 0 before either the ways or rels
+        section, so a nodes+rels block is ambiguous; the decoder must
+        backtrack to a rels-parse instead of consuming rels as ways."""
+        from osm_pbf_convert_spark.operators.spatial_block import decode_spatial_block_py
+
+        rng = np.random.default_rng(5)
+        nodes, _, rels = _synth_entities(rng, 10, 0, 6)
+        blob = encode_spatial_block_py(nodes, [], rels)
+        nds, wys, rls = decode_spatial_block_py(blob)
+        assert wys == []
+        assert [r[0] for r in nds] == [i for i, *_ in nodes]
+        assert rls == rels
+        # tagged variant (the ADVICE repro that raised IndexError)
+        blob2 = encode_spatial_block_py(nodes, [], rels)
+        assert decode_spatial_block_py(blob2, sections="nr")[2] == rels
+
+    def test_only_rels_block(self):
+        from osm_pbf_convert_spark.operators.spatial_block import decode_spatial_block_py
+
+        rng = np.random.default_rng(6)
+        _, _, rels = _synth_entities(rng, 0, 0, 4)
+        blob = encode_spatial_block_py([], [], rels)
+        nds, wys, rls = decode_spatial_block_py(blob)
+        assert nds == [] and wys == [] and rls == rels
+        assert decode_spatial_block_py(blob, sections="r")[2] == rels
+
+    def test_sections_hint_all_shapes(self):
+        """Deterministic parse with the sidecar hint for every section
+        composition the writer can produce."""
+        from osm_pbf_convert_spark.operators.spatial_block import decode_spatial_block_py
+
+        rng = np.random.default_rng(8)
+        nodes, ways, rels = _synth_entities(rng, 6, 4, 3)
+        cases = [
+            ("n", nodes, [], []), ("w", [], ways, []), ("r", [], [], rels),
+            ("nw", nodes, ways, []), ("nr", nodes, [], rels),
+            ("wr", [], ways, rels), ("nwr", nodes, ways, rels),
+        ]
+        for sec, tn, tw, tr in cases:
+            blob = encode_spatial_block_py(tn, tw, tr)
+            nds, wys, rls = decode_spatial_block_py(blob, sections=sec)
+            assert (nds, wys, rls) == (tn, tw, tr), sec
+
     def test_dotnet_string_long_length(self):
         tags = [{"tag_id": None, "key_id": 3, "key": None, "value": "y" * 200}]
         blob = encode_spatial_block_py([(1, 0, 0, tags)], [], [])
@@ -197,6 +241,40 @@ class TestDistributedSink:
             r = got_ways[i]
             assert [(nd["id"], nd["ilat"], nd["ilon"]) for nd in r["wnodes"]] == wn
             assert r["v1"] == ty
+
+    def test_executor_write_with_sidecars_roundtrips_mixed_tiles(self, spark, tmp_path):
+        """Tiles holding nodes+rels but NO ways (the ambiguous shape) must
+        survive the engine's own write->read roundtrip via the .sections
+        sidecars written executor-side."""
+        import os
+
+        from osm_pbf_convert_spark.operators.spatial_block import read_spatial_blocks
+
+        rng = np.random.default_rng(17)
+        nodes, _, rels = _synth_entities(rng, 40, 0, 15)
+        z = 2
+        ndf = spark.createDataFrame(
+            [(i, la, lo, t) for i, la, lo, t in nodes],
+            schema="id long, ilat int, ilon int, tags array<struct<tag_id:int,key_id:int,key:string,value:string>>",
+        )
+        rdf = spark.createDataFrame(
+            [(i, p, rt, ro, la, lo, it, ii, t) for i, p, rt, ro, la, lo, it, ii, t in rels],
+            schema="id long, position int, rel_type int, role_id int, mid_ilat int, "
+                   "mid_ilon int, item_type int, item_id long, tags array<struct<tag_id:int,key_id:int,key:string,value:string>>",
+        )
+        out = str(tmp_path / "blocks_nr")
+        n_blocks = write_spatial_blocks(out, nodes=ndf, rels=rdf, z=z)
+        sidecars = [f for f in os.listdir(out) if f.endswith(".sections")]
+        assert len(sidecars) == n_blocks
+        back = read_spatial_blocks(spark, out)
+        assert back.filter("kind = 1").count() == 0
+        assert {r["id"] for r in back.filter("kind = 0").collect()} == {i for i, *_ in nodes}
+        got_rels = {r["id"]: r for r in back.filter("kind = 2").collect()}
+        assert set(got_rels) == {i for i, *_ in rels}
+        for i, p, rt, ro, la, lo, it, ii, _t in rels:
+            r = got_rels[i]
+            assert (r["v1"], r["v2"], r["v3"], r["v4"], r["v5"], r["item_type"], r["v6"]) == \
+                (p, rt, ro, la, lo, it, ii)
 
     def test_blobs_plan_is_grouped_map(self, spark):
         ndf = spark.createDataFrame(
