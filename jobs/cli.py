@@ -3,6 +3,12 @@ entry points (``OSM-pbf-convert/Program.cs:34-97``): one verb per
 processor, same names, Spark outputs instead of custom binary files.
 
     python jobs/cli.py <verb> --pages <pages parquet> --out <output root>
+    python jobs/cli.py <verb> --pbf <extract.osm.pbf> --out <output root>
+
+``--pbf`` reads a standalone OSM extract the way the reference's CLI
+does (``PbfFileProcessor.Process``), but distributed: byte-range splits
+self-sync to blob-frame boundaries (``sources/pbf_file.py``); the blob's
+``<path>#<offset>`` becomes the ``url`` lineage identity.
 
 | verb        | reference processor              | output                                    |
 |-------------|----------------------------------|-------------------------------------------|
@@ -45,22 +51,36 @@ def _spark(app: str) -> SparkSession:
     )
 
 
-def _nodes(spark, pages_path):
+def _payloads(spark, args):
+    """Input frames: pages parquet (url+html) or a standalone .osm.pbf
+    file (the reference's primary input; url = <path>#<offset> lineage).
+    Both shapes feed the same decoders via (url, payload-column)."""
+    if args.pbf:
+        from osm_pbf_convert_spark.sources.pbf_file import pbf_blob_frames
+
+        return pbf_blob_frames(spark, args.pbf), "payload"
+    return spark.read.parquet(args.pages), "html"
+
+
+def _nodes(spark, args):
     from osm_pbf_convert_spark.sources.pbf import decode_nodes
 
-    return decode_nodes(spark.read.parquet(pages_path), on_error="skip")
+    df, col = _payloads(spark, args)
+    return decode_nodes(df, payload_col=col, on_error="skip")
 
 
-def _ways(spark, pages_path):
+def _ways(spark, args):
     from osm_pbf_convert_spark.sources.pbf import decode_ways
 
-    return decode_ways(spark.read.parquet(pages_path), on_error="skip")
+    df, col = _payloads(spark, args)
+    return decode_ways(df, payload_col=col, on_error="skip")
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("verb", choices=VERBS)
-    ap.add_argument("--pages", required=True, help="pages table path (binary payload column)")
+    ap.add_argument("--pages", help="pages table path (binary payload column)")
+    ap.add_argument("--pbf", help="standalone .osm.pbf file (distributed byte-range read)")
     ap.add_argument("--out", required=True, help="output root")
     ap.add_argument("--zoom", type=int, default=6, help="spatial store tile zoom")
     ap.add_argument("--top-k", type=int, default=400, help="tags-stat top-k")
@@ -74,6 +94,8 @@ def main():
                          "SpatialBlock parity artifacts; the Parquet stores "
                          "stay the query path)")
     args = ap.parse_args()
+    if bool(args.pages) == bool(args.pbf):
+        ap.error("exactly one of --pages / --pbf is required")
 
     spark = _spark(args.verb)
     out = args.out
@@ -81,7 +103,7 @@ def main():
     if args.verb == "blob-index":
         # per-blob id min/max/count zone maps (IdsIndexerBlobProcessor.cs:38-113);
         # the page url is the blob identity in the pages layout
-        _nodes(spark, args.pages).groupBy("url").agg(
+        _nodes(spark, args).groupBy("url").agg(
             F.min("id").alias("min_id"), F.max("id").alias("max_id"),
             F.count(F.lit(1)).alias("cnt"),
         ).write.mode("overwrite").parquet(f"{out}/blobs")
@@ -93,12 +115,12 @@ def main():
 
         spark.sql(f"CREATE DATABASE IF NOT EXISTS cli_out LOCATION '{out}/nodes_index'")
         spark.catalog.setCurrentDatabase("cli_out")
-        write_bucketed_nodes(_nodes(spark, args.pages).select("id", "ilat", "ilon"), "nodes_index")
+        write_bucketed_nodes(_nodes(spark, args).select("id", "ilat", "ilon"), "nodes_index")
         if args.dat:
             from osm_pbf_convert_spark.operators.node_store import write_nodes_index_file
 
             nd, ni = write_nodes_index_file(
-                _nodes(spark, args.pages).select("id", "ilat", "ilon").dropDuplicates(["id"]),
+                _nodes(spark, args).select("id", "ilat", "ilon").dropDuplicates(["id"]),
                 f"{out}/nodes",
             )
             print(f"wrote {nd} dat bytes, {ni} idx bytes")
@@ -107,17 +129,17 @@ def main():
         from osm_pbf_convert_spark.operators.joins import resolve_ways
 
         resolve_ways(
-            _ways(spark, args.pages).select("id", "refs", "tags"),
-            _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+            _ways(spark, args).select("id", "refs", "tags"),
+            _nodes(spark, args).select("id", "ilat", "ilon"),
         ).write.mode("overwrite").parquet(f"{out}/ways_resolved")
 
     elif args.verb == "heat-map":
         from osm_pbf_convert_spark.operators.tiling import heat_map, write_heat_map_file
 
         os.makedirs(out, exist_ok=True)
-        name = os.path.basename(args.pages.rstrip("/"))
+        name = os.path.basename((args.pages or args.pbf).rstrip("/"))
         n = write_heat_map_file(
-            heat_map(_nodes(spark, args.pages)), f"{out}/{name}.heat.map",
+            heat_map(_nodes(spark, args)), f"{out}/{name}.heat.map",
             rows=args.heat_rows, cols=args.heat_cols, band_rows=args.heat_band_rows,
         )
         print(f"wrote {n} bytes")
@@ -126,13 +148,13 @@ def main():
         from osm_pbf_convert_spark.operators.tags import inverted_tag_index
 
         inverted_tag_index(
-            nodes=_nodes(spark, args.pages), ways=_ways(spark, args.pages)
+            nodes=_nodes(spark, args), ways=_ways(spark, args)
         ).write.mode("overwrite").parquet(f"{out}/tags_index")
 
     elif args.verb == "tags-stat":
         from osm_pbf_convert_spark.operators.tags import tag_key_stats, top_k_tags
 
-        n = _nodes(spark, args.pages)
+        n = _nodes(spark, args)
         tag_key_stats(n).write.mode("overwrite").parquet(f"{out}/tags_stat/key_counts")
         top_k_tags(n, k=args.top_k).write.mode("overwrite").parquet(f"{out}/tags_stat/top_k")
 
@@ -140,7 +162,7 @@ def main():
         from osm_pbf_convert_spark.plans.partitioning import write_spatial_table
 
         write_spatial_table(
-            _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+            _nodes(spark, args).select("id", "ilat", "ilon"),
             f"{out}/spatial", z=args.zoom,
         )
         if args.dat:
@@ -148,13 +170,13 @@ def main():
 
             n = write_spatial_blocks(
                 f"{out}/spatial_blocks",
-                nodes=_nodes(spark, args.pages).select("id", "ilat", "ilon"),
+                nodes=_nodes(spark, args).select("id", "ilat", "ilon"),
                 z=args.zoom,
             )
             print(f"wrote {n} block files")
 
     elif args.verb == "ways-file":
-        _ways(spark, args.pages).select("id", "refs", "tags").write.mode(
+        _ways(spark, args).select("id", "refs", "tags").write.mode(
             "overwrite"
         ).parquet(f"{out}/ways")
         if args.dat:
@@ -162,8 +184,8 @@ def main():
             from osm_pbf_convert_spark.operators.way_store import write_ways_file
 
             resolved = resolve_ways(
-                _ways(spark, args.pages).select("id", "refs"),
-                _nodes(spark, args.pages).select("id", "ilat", "ilon"),
+                _ways(spark, args).select("id", "refs"),
+                _nodes(spark, args).select("id", "ilat", "ilon"),
                 keep_tags=False,
             )
             nd, ni = write_ways_file(resolved, f"{out}/ways.dat")
@@ -173,9 +195,10 @@ def main():
         from osm_pbf_convert_spark.operators.joins import assemble_relations, resolve_ways
         from osm_pbf_convert_spark.sources.pbf import decode_relations
 
-        nodes = _nodes(spark, args.pages).select("id", "ilat", "ilon")
-        ways = _ways(spark, args.pages).select("id", "refs", "tags")
-        rels = decode_relations(spark.read.parquet(args.pages), on_error="skip").select(
+        nodes = _nodes(spark, args).select("id", "ilat", "ilon")
+        ways = _ways(spark, args).select("id", "refs", "tags")
+        pdf, col = _payloads(spark, args)
+        rels = decode_relations(pdf, payload_col=col, on_error="skip").select(
             "id", "members"
         )
         assembled = assemble_relations(rels, nodes, resolve_ways(ways, nodes, keep_tags=False))

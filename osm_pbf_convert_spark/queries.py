@@ -826,6 +826,59 @@ FROM lineitem GROUP BY 1
 """
 
 
+_PBF_FILE_CACHE: dict = {}
+
+
+def _pbf_file(spark, sf_dir) -> str:
+    """Standalone ``.osm.pbf`` fixture: the synthesized pages' framed
+    payloads concatenated in url order into ONE file (the reference's
+    input shape, ``PbfFileProcessor.cs:24``). Assembly is a driver-local
+    pyarrow step -- building a single test file is fixture work; the
+    DISTRIBUTED byte-range read of it is the operator under test."""
+    key = sf_dir.rstrip("/")
+    if key not in _PBF_FILE_CACHE:
+        import pyarrow.parquet as pq
+
+        _pages(spark, sf_dir)  # ensure the pages parquet fixture exists
+        t = pq.read_table(
+            _PAGES_CACHE[key], columns=["url", "html"]
+        ).sort_by([("url", "ascending")])
+        tag = key.replace("/", "_").strip("_")
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_pbf_{tag}_{os.getpid()}.osm.pbf"
+        )
+        with open(path, "wb") as f:
+            for h in t["html"].to_pylist():
+                f.write(h)
+        _PBF_FILE_CACHE[key] = path
+    return _PBF_FILE_CACHE[key]
+
+
+def q_pbf_file_nodes(spark, sf_dir):
+    """Decode a standalone .osm.pbf file distributed: 1 MiB byte-range
+    splits self-sync to blob-frame boundaries (``sources/pbf_file.py``),
+    frames feed the same mapInArrow decode, aggregated per id bucket so
+    the oracle replays the decode arithmetic from lineitem."""
+    from osm_pbf_convert_spark.sources.pbf_file import read_pbf_nodes
+
+    nodes = read_pbf_nodes(spark, _pbf_file(spark, sf_dir), split_bytes=1 << 20)
+    return nodes.groupBy(F.pmod(F.col("id"), F.lit(97)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("ilat").cast("long")).alias("sum_ilat"),
+        F.sum(F.col("ilon").cast("long")).alias("sum_ilon"),
+        F.sum("id").alias("sum_id"),
+    )
+
+
+_Q_PBF_FILE_ORACLE = f"""
+SELECT {_LI_NID} % 97 AS bucket, COUNT(*) AS n_nodes,
+       CAST(SUM({SX.ilat_sql(_LI_NID)}) AS BIGINT) AS sum_ilat,
+       CAST(SUM({SX.ilon_sql(_LI_NID)}) AS BIGINT) AS sum_ilon,
+       CAST(SUM({_LI_NID}) AS BIGINT) AS sum_id
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_decode_ways(spark, sf_dir):
     ways = decode_ways(_pages(spark, sf_dir))
     return ways.select(
@@ -1557,6 +1610,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "decode_nodes": q_decode_nodes,
     "decode_ways": q_decode_ways,
+    "pbf_file_nodes": q_pbf_file_nodes,
     "pages_geo": q_pages_geo,
     "way_size_histogram": q_way_size_histogram,
     "heavy_hitters": q_heavy_hitters,
@@ -1604,6 +1658,7 @@ ORACLES = {
     "embedding_topk": _Q_EMB_ORACLE,
     "decode_nodes": _Q_DECODE_ORACLE,
     "decode_ways": _Q_DECODE_WAYS_ORACLE,
+    "pbf_file_nodes": _Q_PBF_FILE_ORACLE,
     "pages_geo": _Q_PAGES_GEO_ORACLE,
     "way_size_histogram": _Q_WAYSIZE_ORACLE,
     "heavy_hitters": _Q_HEAVY_ORACLE,

@@ -44,7 +44,21 @@ def pages_path(spark, tmp_path_factory):
     return path
 
 
-def _run(verb, pages, out, monkeypatch, spark):
+@pytest.fixture(scope="module")
+def pbf_path(pages_path, tmp_path_factory):
+    """The same entities as ``pages_path`` concatenated into ONE
+    standalone .osm.pbf file (the reference's input shape)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(pages_path).sort_by([("url", "ascending")])
+    path = str(tmp_path_factory.mktemp("clipbf") / "extract.osm.pbf")
+    with open(path, "wb") as f:
+        for h in t["html"].to_pylist():
+            f.write(h)
+    return path
+
+
+def _run(verb, pages, out, monkeypatch, spark, input_flag="--pages"):
     import cli
 
     # reuse the session-scoped test SparkSession: cli.main() stops the
@@ -52,7 +66,7 @@ def _run(verb, pages, out, monkeypatch, spark):
     # kill the shared fixture here
     monkeypatch.setattr(cli, "_spark", lambda app: spark)
     monkeypatch.setattr(spark, "stop", lambda: None)
-    monkeypatch.setattr(sys, "argv", ["cli.py", verb, "--pages", pages, "--out", out])
+    monkeypatch.setattr(sys, "argv", ["cli.py", verb, input_flag, pages, "--out", out])
     cli.main()
 
 
@@ -87,6 +101,28 @@ class TestCliVerbs:
             spark.catalog.setCurrentDatabase(prev_db)
             spark.sql("DROP TABLE IF EXISTS cli_out.nodes_index")
             spark.sql("DROP DATABASE IF EXISTS cli_out")
+
+    @pytest.mark.parametrize("verb,sub,min_rows", [
+        ("join", "ways_resolved", 8),
+        ("blob-index", "blobs", 8),
+        ("merge-rel", "relations", 8),
+        ("spatial", "spatial", 16),
+    ])
+    def test_verbs_run_off_standalone_pbf(
+        self, spark, pages_path, pbf_path, tmp_path, monkeypatch, verb, sub, min_rows
+    ):
+        """--pbf drives the same verbs off a standalone file; entity-level
+        results match the --pages run of the identical entities."""
+        out_a = str(tmp_path / "out_pages")
+        out_b = str(tmp_path / "out_pbf")
+        _run(verb, pages_path, out_a, monkeypatch, spark)
+        _run(verb, pbf_path, out_b, monkeypatch, spark, input_flag="--pbf")
+        a = spark.read.parquet(f"{out_a}/{sub}")
+        b = spark.read.parquet(f"{out_b}/{sub}")
+        assert b.count() >= min_rows
+        drop = [c for c in ("url",) if c in a.columns]  # lineage ids differ
+        assert sorted(map(str, a.drop(*drop).collect())) == \
+            sorted(map(str, b.drop(*drop).collect()))
 
     def test_heat_map_verb_reference_bytes(self, spark, pages_path, tmp_path, monkeypatch):
         """Full reference grid dims (16384x32768). All 16 node counts are 1
