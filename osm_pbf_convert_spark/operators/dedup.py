@@ -31,7 +31,11 @@ def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     digest = F.md5(F.col(content_col).cast("binary")).alias("_digest")
     w = df.select(F.col(id_col), digest)
     keep = w.groupBy("_digest").agg(F.min(id_col).alias(id_col))
-    return df.join(keep.select(id_col), id_col, "left_semi")
+    # merge hint: `keep` is corpus-sized (one row per distinct digest) but
+    # DERIVED, so Catalyst's size estimate undershoots and auto-broadcasts
+    # it -- the exit-52 OOM class the 16x rehearsal exposed in the LSH
+    # joins. A fact-sized side must shuffle, never broadcast.
+    return df.join(keep.select(id_col).hint("merge"), id_col, "left_semi")
 
 
 def shingles_col(text, k: int = 5):
@@ -351,7 +355,9 @@ def simhash_signatures(
         raise ValueError(f"unknown agg_mode {agg_mode!r}")
     # docs with zero tokens never reach the groupBy: give them simhash 0
     # (matches simhash_col, where the empty aggregate yields all bit_sum=0)
-    empties = df.join(sig.select(id_col), id_col, "left_anti").select(
+    # merge hint: sig is the corpus-sized signature relation (derived ->
+    # underestimated -> auto-broadcast risk, same class as exact_dedup)
+    empties = df.join(sig.select(id_col).hint("merge"), id_col, "left_anti").select(
         F.col(id_col), F.lit(0).cast("long").alias("simhash")
     )
     return sig.unionByName(empties)

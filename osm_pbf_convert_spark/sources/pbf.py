@@ -157,16 +157,36 @@ def _decode_dense(mv, span, strings, gran, lat_off, lon_off, out: DecodedNodes):
     if kv.size > n:  # at least one tag pair exists
         # reference semantics: zeros are terminators only at KEY positions
         # (PrimitiveDecoder.cs:102-109)
-        i = 0
-        for node in range(n):
-            c = 0
-            while i < kv.size and kv[i] != 0:
-                keys.append(strings[kv[i]])
-                vals.append(strings[kv[i + 1]])
-                i += 2
-                c += 1
-            i += 1
-            counts[node] = c
+        zpos = np.nonzero(kv == 0)[0]
+        starts = np.empty_like(zpos)
+        if zpos.size:
+            starts[0] = 0
+            starts[1:] = zpos[:-1] + 1
+        seg = zpos - starts
+        if zpos.size == n and kv.size == int(zpos[-1]) + 1 and not (seg & 1).any():
+            # fast path: every zero sits at a KEY position (no empty-string
+            # values), so terminators == zeros and the demux vectorizes --
+            # equivalent to the sequential parse by induction: each segment
+            # between zeros has even pair length, so every zero lands on a
+            # key position in the sequential scan too
+            counts = (seg >> 1).astype(np.int32)
+            pairs = kv[kv != 0]
+            keys = strings[pairs[0::2]].tolist()
+            vals = strings[pairs[1::2]].tolist()
+        else:
+            # rare: a zero at a VALUE position (value = string-table slot 0,
+            # the empty string) or a non-exact stream -- sequential demux
+            # preserves the reference's keys-only-terminate semantics
+            i = 0
+            for node in range(n):
+                c = 0
+                while i < kv.size and kv[i] != 0:
+                    keys.append(strings[kv[i]])
+                    vals.append(strings[kv[i + 1]])
+                    i += 2
+                    c += 1
+                i += 1
+                counts[node] = c
     out.ids = np.concatenate([out.ids, ids])
     out.lat = np.concatenate([out.lat, lat])
     out.lon = np.concatenate([out.lon, lon])

@@ -12,6 +12,15 @@ into DataFrames, parallelized by the formats' OWN index structures.
 - ``read_ways_file``: the info file stores every way's ABSOLUTE id and
   data offset, so any run of ways is a self-contained split (the first
   record's id delta is re-seeded from the info id).
+- ``read_rels_file``: the ``.rels`` format has NO sync-point index at
+  all (``RelationsProcessor.cs:47-147`` reads it strictly serially), so
+  the driver performs ONE vectorized skim -- the whole file is a flat
+  MSB-varint stream, so ``decode_varints_msb`` recovers every value in
+  one numpy pass, and a 2-touch-per-record hop walk recovers record
+  boundaries and absolute-id seeds -- then executors re-decode their
+  byte ranges independently (member chains reset per relation, so a
+  record run plus its seed id is self-contained). The skim builds
+  indexes only; all row materialization happens on executors.
 
 Byte ranges are fetched per task with plain ``open`` -- local/NFS paths
 (the formats are single-node artifacts; object-store reads would go
@@ -184,4 +193,162 @@ def read_ways_file(
 
     return rdf.repartition(len(splits), "start").mapInPandas(
         decode, schema="id long, nodes array<struct<id:long,ilat:long,ilon:long>>"
+    )
+
+
+def _parse_rels_strings(data: bytes) -> list:
+    """``.rels.strs`` -> role list indexed by role id: per record a
+    MSB varint id then a .NET length-prefixed UTF-8 string
+    (``RelationsFile.WriteStrings``)."""
+    roles = []
+    pos, n = 0, len(data)
+    while pos < n:
+        rid = 0
+        while True:  # MSB varint id
+            b = data[pos]
+            pos += 1
+            rid = (rid << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        ln = 0
+        shift = 0
+        while True:  # .NET LSB-first 7-bit length
+            b = data[pos]
+            pos += 1
+            ln |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if rid != len(roles):
+            raise ValueError("role ids must be dense first-appearance order")
+        roles.append(data[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return roles
+
+
+def read_rels_file(
+    spark: SparkSession, path: str, rels_per_split: int = 8192
+) -> DataFrame:
+    """``path`` (+ ``path + '.strs'``) -> DataFrame(rel_id, min_ilat,
+    min_ilon, max_ilat, max_ilon, members array<struct<member_type, ref,
+    role, mid_ilat, mid_ilon>>) -- the same shape
+    ``joins.assemble_relations`` produces and ``write_rels_file``
+    consumes, closing the read-direction interop for all five formats.
+
+    Values are returned RAW: the empty rect is (INT_MAX, INT_MAX,
+    INT_MIN, INT_MIN) and member mids keep the reference's sentinels
+    (int.MinValue for missing/way members, 0 for relation members) --
+    the writer cannot distinguish them from real coordinates either.
+    """
+    with open(path, "rb") as f:
+        dat = f.read()
+    with open(path + ".strs", "rb") as f:
+        roles = _parse_rels_strings(f.read())
+
+    b = np.frombuffer(dat, dtype=np.uint8)
+    splits = []  # (byte_start, byte_end, first_id, n_rels)
+    if b.size:
+        ends = np.nonzero(b < 0x80)[0]
+        vstarts = np.empty(ends.size, dtype=np.int64)
+        vstarts[0] = 0
+        vstarts[1:] = ends[:-1] + 1
+        vals = decode_varints_msb(b)
+        # hop walk: record r = [dId, typeId, zz(minLat), zz(minLon),
+        # latSize, lonSize, cnt, cnt x 5 member values]
+        p = 0
+        n_vals = vals.size
+        rec_vidx = []
+        rec_ids = []
+        last = 0
+        while p < n_vals:
+            rec_vidx.append(p)
+            last += int(vals[p])
+            rec_ids.append(last)
+            if p + 6 >= n_vals:
+                raise ValueError("corrupt .rels stream (truncated header)")
+            p += 7 + 5 * int(vals[p + 6])
+        if p != n_vals:
+            raise ValueError("corrupt .rels stream (trailing varints)")
+        for i in range(0, len(rec_vidx), rels_per_split):
+            j = min(i + rels_per_split, len(rec_vidx))
+            bs = int(vstarts[rec_vidx[i]])
+            be = int(vstarts[rec_vidx[j]]) if j < len(rec_vidx) else len(dat)
+            splits.append((bs, be, rec_ids[i], j - i))
+    if not splits:
+        return spark.createDataFrame(
+            [], schema="rel_id long, min_ilat long, min_ilon long, "
+                       "max_ilat long, max_ilon long, members array<struct<"
+                       "member_type:int,ref:long,role:string,mid_ilat:long,mid_ilon:long>>"
+        )
+    rdf = spark.createDataFrame(
+        splits, schema="start long, end long, first_id long, n_rels long"
+    )
+    role_arr = np.asarray(roles, dtype=object)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start, end, first_id, n_rels in zip(
+                pdf["start"], pdf["end"], pdf["first_id"], pdf["n_rels"]
+            ):
+                with open(path, "rb") as f:
+                    f.seek(int(start))
+                    vals = decode_varints_msb(f.read(int(end) - int(start)))
+                n_rels = int(n_rels)
+                starts = np.empty(n_rels, dtype=np.int64)
+                cnts = np.empty(n_rels, dtype=np.int64)
+                p = 0
+                for r in range(n_rels):
+                    starts[r] = p
+                    c = int(vals[p + 6])
+                    cnts[r] = c
+                    p += 7 + 5 * c
+                if p != vals.size:
+                    raise ValueError("corrupt .rels range (trailing varints)")
+                dids = vals[starts].astype(np.int64)
+                rel_ids = np.cumsum(dids) - dids[0] + int(first_id)
+                min_lat = zigzag_decode(vals[starts + 2])
+                min_lon = zigzag_decode(vals[starts + 3])
+                max_lat = min_lat + vals[starts + 4].astype(np.int64)
+                max_lon = min_lon + vals[starts + 5].astype(np.int64)
+                total_m = int(cnts.sum())
+                first_m = np.zeros(n_rels, dtype=np.int64)
+                np.cumsum(cnts[:-1], out=first_m[1:])
+                r_of = np.repeat(np.arange(n_rels), cnts)
+                i_of = np.arange(total_m, dtype=np.int64) - np.repeat(first_m, cnts)
+                base = (starts + 7)[r_of] + 5 * i_of
+                mtypes = vals[base].astype(np.int64)
+                role_ids = vals[base + 2].astype(np.int64)
+
+                def segcum(d):
+                    # per-relation chain reset: segmented cumsum
+                    c = np.cumsum(d)
+                    fi = np.clip(first_m, 0, max(total_m - 1, 0))
+                    return c - np.repeat(c[fi] - d[fi], cnts)
+
+                mids = segcum(zigzag_decode(vals[base + 1]))
+                mlats = segcum(zigzag_decode(vals[base + 3]))
+                mlons = segcum(zigzag_decode(vals[base + 4]))
+                mroles = role_arr[role_ids] if total_m else np.empty(0, object)
+                members = []
+                cursor = 0
+                for c in cnts.tolist():
+                    members.append([
+                        {"member_type": int(mtypes[k]), "ref": int(mids[k]),
+                         "role": mroles[k], "mid_ilat": int(mlats[k]),
+                         "mid_ilon": int(mlons[k])}
+                        for k in range(cursor, cursor + c)
+                    ])
+                    cursor += c
+                yield pd.DataFrame({
+                    "rel_id": rel_ids, "min_ilat": min_lat, "min_ilon": min_lon,
+                    "max_ilat": max_lat, "max_ilon": max_lon, "members": members,
+                })
+
+    return rdf.repartition(len(splits), "start").mapInPandas(
+        decode,
+        schema="rel_id long, min_ilat long, min_ilon long, max_ilat long, "
+               "max_ilon long, members array<struct<member_type:int,ref:long,"
+               "role:string,mid_ilat:long,mid_ilon:long>>",
     )

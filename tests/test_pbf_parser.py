@@ -74,6 +74,48 @@ class TestDenseNodes:
         out = parse_payload(payload)
         assert out.nodes.tag_counts.tolist() == [0, 0]
 
+    def test_empty_string_value_falls_back_to_sequential_demux(self):
+        """A tag VALUE can legitimately be string-table slot 0 (the empty
+        string); its kv zero is NOT a terminator (zeros terminate only at
+        key positions, PrimitiveDecoder.cs:102-109). This disables the
+        vectorized demux fast path; the sequential path must keep exact
+        semantics."""
+        spec = DenseNodesSpec(
+            ids=[1, 2, 3],
+            lats_raw=[10, 20, 30],
+            lons_raw=[40, 50, 60],
+            tags=[{"name": "", "amenity": "cafe"}, {}, {"highway": ""}],
+        )
+        payload = build_payload([frame_blob(encode_primitive_block(dense=spec))])
+        out = parse_payload(payload)
+        assert out.nodes.tag_counts.tolist() == [2, 0, 1]
+        assert out.nodes.tag_keys == ["name", "amenity", "highway"]
+        assert out.nodes.tag_vals == ["", "cafe", ""]
+
+    def test_demux_paths_agree_randomized(self):
+        """Vectorized and sequential demux agree on random tag layouts
+        without empty-string values (the fast-path precondition)."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        for trial in range(10):
+            n = int(rng.integers(1, 30))
+            tags = []
+            for _ in range(n):
+                k = int(rng.integers(0, 4))
+                tags.append({f"k{j}": f"v{int(rng.integers(1, 9))}" for j in range(k)})
+            spec = DenseNodesSpec(
+                ids=list(range(1, n + 1)),
+                lats_raw=rng.integers(-10**6, 10**6, n).tolist(),
+                lons_raw=rng.integers(-10**6, 10**6, n).tolist(),
+                tags=tags,
+            )
+            payload = build_payload([frame_blob(encode_primitive_block(dense=spec))])
+            out = parse_payload(payload)
+            assert out.nodes.tag_counts.tolist() == [len(t) for t in tags]
+            assert out.nodes.tag_keys == [k for t in tags for k in t]
+            assert out.nodes.tag_vals == [v for t in tags for v in t.values()]
+
     def test_negative_delta_ids(self):
         spec = DenseNodesSpec(ids=[10**12, 5, 10**11], lats_raw=[0, -5, 5], lons_raw=[1, 1, -100])
         payload = build_payload([frame_blob(encode_primitive_block(dense=spec))])

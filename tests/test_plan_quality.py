@@ -319,6 +319,25 @@ class TestBucketedNodeStore:
             spark.sql("DROP TABLE IF EXISTS nodes_bucketed")
 
 
+@pytest.mark.spark
+class TestScaleGates:
+    def test_rehearsal_plan_gates_pass(self, sf_dir):
+        """The scale-rehearsal assert gates (no cartesian anywhere, no
+        BroadcastHashJoin in dedup plans -- the 16x auto-broadcast OOM
+        class) must pass mechanically every round."""
+        import subprocess
+        import sys as _sys
+
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        r = subprocess.run(
+            [_sys.executable, os.path.join(repo, "tools", "scale_rehearsal.py"),
+             "--assert", "--plan-only", "--sf-dir", sf_dir, "--replicate", "2"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, f"scale gates failed:\n{r.stdout}\n{r.stderr}"
+        assert "scale gates PASS" in r.stdout
+
+
 class TestOracleSyntax:
     def test_all_oracles_parse_in_duckdb(self):
         """Every oracle_sql() must be valid DuckDB SQL against the driver's

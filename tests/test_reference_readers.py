@@ -83,3 +83,46 @@ class TestWaysFileReader:
         assert got == ways
         # multiple splits -> the id chain re-seeding path is exercised
         assert (500 + 119) // 120 >= 4
+
+
+@pytest.mark.spark
+class TestRelsFileReader:
+    @pytest.mark.parametrize("num_chunks,rels_per_split", [(1, 50), (3, 64), (6, 10**6)])
+    def test_roundtrip_distributed(self, spark, tmp_path, num_chunks, rels_per_split):
+        """write_rels_file -> read_rels_file recovers every relation
+        (rects, ordered members, role strings, sentinels) across sink
+        chunk counts and reader split sizes. The .rels format has no sync
+        points, so the reader's driver skim + reseeded executor ranges is
+        the distribution mechanism under test."""
+        from osm_pbf_convert_spark.operators.rel_store import write_rels_file
+        from osm_pbf_convert_spark.sources.reference_files import read_rels_file
+        from tests.test_rel_store import TestDistributedSink, _synth_rels
+
+        rels = _synth_rels(300, seed=41)
+        out = str(tmp_path / "reader.rels")
+        write_rels_file(TestDistributedSink._mk_df(spark, rels), out, num_chunks=num_chunks)
+        back = read_rels_file(spark, out, rels_per_split=rels_per_split)
+        got = {r["rel_id"]: r for r in back.collect()}
+        assert len(got) == len(rels)
+        from osm_pbf_convert_spark.operators.rel_store import INT_MAX, INT_MIN
+
+        for rid, rect, members in rels:
+            r = got[rid]
+            want = rect or (INT_MAX, INT_MAX, INT_MIN, INT_MIN)
+            assert (r["min_ilat"], r["min_ilon"], r["max_ilat"], r["max_ilon"]) == want
+            assert [
+                (m["member_type"], m["ref"], m["role"], m["mid_ilat"], m["mid_ilon"])
+                for m in r["members"]
+            ] == [(t, m, ro or "", la, lo) for t, m, ro, la, lo in members]
+
+    def test_reader_is_distributed(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.rel_store import write_rels_file
+        from osm_pbf_convert_spark.sources.reference_files import read_rels_file
+        from tests.test_rel_store import TestDistributedSink, _synth_rels
+
+        out = str(tmp_path / "plan.rels")
+        write_rels_file(TestDistributedSink._mk_df(spark, _synth_rels(120, seed=9)), out)
+        df = read_rels_file(spark, out, rels_per_split=25)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert df.count() == 120

@@ -5,6 +5,14 @@ the evidence that the bench-scale plans hold at an order of magnitude
 more rows (no AQE surprises, no OOM, no cartesian sneaking in).
 
     python tools/scale_rehearsal.py [--executors 4] [--replicate 16]
+    python tools/scale_rehearsal.py --assert               # gates on the full run
+    python tools/scale_rehearsal.py --assert --plan-only   # seconds: per-round gate
+
+``--assert`` turns the round-3 scale-bug class into mechanical gates
+(exit 1 on failure): no cartesian/nested-loop join anywhere, no
+BroadcastHashJoin inside the dedup family, disk spill bounded.
+``--plan-only`` checks the plan gates without executing (also run by
+pytest: tests/test_plan_quality.py::TestScaleGates).
 
 Documents are replicated with a PER-REPLICA character translation
 (vowels -> a rotated alphabet slice), so within-replica near-dup
@@ -59,7 +67,32 @@ def _plan_flags(df):
     return {
         "cartesian": "CartesianProduct" in plan or "BroadcastNestedLoop" in plan,
         "aqe": "AdaptiveSparkPlan" in plan,
+        "bhj": plan.count("BroadcastHashJoin"),
     }
+
+
+DEDUP_OPS = {"minhash_pairs", "simhash_hamming_pairs", "ngram_jaccard_lsh", "exact_dedup"}
+
+
+def check_gates(results: dict, max_disk_spill_mb: float) -> list[str]:
+    """The round-3 scale-bug class, as mechanical gates: no cartesian or
+    nested-loop join anywhere, no BroadcastHashJoin inside the dedup
+    family (corpus-sized derived relations must never auto-broadcast --
+    the exact exit-52 OOM found at 16x), and bounded disk spill."""
+    failures = []
+    for name, r in results.items():
+        if r.get("cartesian"):
+            failures.append(f"{name}: cartesian/nested-loop join in plan")
+        if name in DEDUP_OPS and r.get("bhj", 0) > 0:
+            failures.append(
+                f"{name}: {r['bhj']} BroadcastHashJoin in a dedup plan "
+                "(corpus-sized side auto-broadcast -- the 16x OOM class)"
+            )
+        if r.get("disk_spill_mb", 0) > max_disk_spill_mb:
+            failures.append(
+                f"{name}: disk spill {r['disk_spill_mb']} MB > {max_disk_spill_mb} MB"
+            )
+    return failures
 
 
 def measured(spark, name, df, results, mode="noop"):
@@ -113,6 +146,15 @@ def main():
     ap.add_argument("--executors", type=int, default=4)
     ap.add_argument("--replicate", type=int, default=16)
     ap.add_argument("--no-append", action="store_true")
+    ap.add_argument("--assert", dest="assert_gates", action="store_true",
+                    help="fail (exit 1) on any scale gate: cartesian/NLJ "
+                         "anywhere, BroadcastHashJoin in a dedup plan, disk "
+                         "spill above --max-disk-spill-mb")
+    ap.add_argument("--plan-only", action="store_true",
+                    help="with --assert: check the plan gates WITHOUT "
+                         "executing (plain local session, seconds not "
+                         "minutes -- the per-round regression gate)")
+    ap.add_argument("--max-disk-spill-mb", type=float, default=512.0)
     args = ap.parse_args()
 
     from osm_pbf_convert_spark.session import get_spark
@@ -122,6 +164,30 @@ def main():
     from osm_pbf_convert_spark.operators.tiling import heat_map, tile_pyramid
     from osm_pbf_convert_spark.operators import dedup
     from pyspark.sql import functions as F
+
+    if args.plan_only:
+        # plan-shape gates only: no cluster, no execution, no replication
+        # materialization -- the cheap mechanical re-run for every round
+        spark = get_spark("rehearsal-plan-gate", cores=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        docs = replicate_documents(spark, args.sf_dir, args.replicate)
+        results = {}
+        for name, df in [
+            ("exact_dedup", dedup.exact_dedup(docs)),
+            ("minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5)),
+            ("simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8)),
+            ("ngram_jaccard_lsh", dedup.ngram_jaccard_lsh_pairs(
+                docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16)),
+        ]:
+            results[name] = _plan_flags(df)
+            print(f"{name}: {results[name]}", flush=True)
+        failures = check_gates(results, args.max_disk_spill_mb)
+        spark.stop()
+        if failures:
+            print("SCALE GATES FAILED:\n  " + "\n  ".join(failures))
+            sys.exit(1)
+        print("scale gates PASS (plan-only)")
+        return
 
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm/spark_graft")
     os.makedirs(scratch, exist_ok=True)
@@ -184,6 +250,14 @@ def main():
         dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16),
         results,
     )
+
+    if args.assert_gates:
+        failures = check_gates(results, args.max_disk_spill_mb)
+        if failures:
+            print("SCALE GATES FAILED:\n  " + "\n  ".join(failures))
+            spark.stop()
+            sys.exit(1)
+        print("scale gates PASS (executed)")
 
     out = {
         "metric": "10x scale rehearsal (e2e stages + dedup family), executor mode",
