@@ -123,6 +123,9 @@ def main():
                     help="union K disjoint input copies (compute-bound scaling runs)")
     ap.add_argument("--iterations", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")),
                     help="repeat the timed pipeline; report the min (contention-free estimate)")
+    ap.add_argument("--query-warmup", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_QUERY_WARMUP", "1")),
+                    help="untimed warmup runs per query before the timed iters")
     ap.add_argument("--query-iters", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_QUERY_ITERS", "4")),
                     help="runs per catalog query; the MEDIAN is reported "
@@ -291,6 +294,14 @@ def main():
         spreads = []
         for name in subset:
             runs = []
+            # one untimed warmup first: the cold iteration pays Python-side
+            # plan construction, codegen compile, and first-touch page
+            # cache, and was the (max-min) outlier in nearly every query's
+            # sample -- excluding it (standard JMH-style practice) makes
+            # query_spread measure steady-state noise, which is what
+            # round-over-round comparisons need
+            for _ in range(max(1, args.query_warmup)):
+                force(Q.QUERIES[name](spark, sf))
             for _ in range(max(1, args.query_iters)):
                 t0 = time.time()
                 force(Q.QUERIES[name](spark, sf))

@@ -383,9 +383,11 @@ def knn_join(
     dlat = (cand["_p_ilat"].cast("double") - cand["_q_ilat"].cast("double"))
     dlon = (cand["_p_ilon"].cast("double") - cand["_q_ilon"].cast("double"))
     cand = cand.withColumn("dist2", dlat * dlat + dlon * dlon)
-    # a point can be reached via several neighbor tiles of the same query ->
-    # dedup before ranking
-    cand = cand.dropDuplicates(["_qid", "_pid"])
+    # no dedup needed: every point maps to exactly ONE (tile, salt) and a
+    # query's neighbor-tile array is distinct (distinct (dx,dy) offsets,
+    # out-of-range dropped not clamped), so each (query, point) pair can
+    # match at most once -- a dropDuplicates here would be a full extra
+    # shuffle of the candidate set, the largest relation in the query
     w = Window.partitionBy("_qid").orderBy(F.asc("dist2"), F.asc("_pid"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
