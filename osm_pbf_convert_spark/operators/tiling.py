@@ -14,8 +14,12 @@ hierarchical tile pyramid (zooms 0-15).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from osm_pbf_convert_spark.codecs import decode_varints_msb
 
 from osm_pbf_convert_spark.functions.cells import (
     heat_col_col,
@@ -187,6 +191,90 @@ def heat_map_bands(
 
     return full.groupBy("band").applyInPandas(
         encode_band, schema="band int, n_bytes long, data binary"
+    )
+
+
+def read_heat_map_file(
+    spark, path: str, rows: int = 16384, cols: int = 32768,
+    split_bytes: int = 32 * 1024 * 1024, sparse: bool = True,
+) -> DataFrame:
+    """Distributed reader for a reference ``.heat.map`` file -> DataFrame
+    (row, col, cnt), the inverse of ``write_heat_map_file``.
+
+    The format is a dense row-major run of rows*cols MSB varints with no
+    index, so a byte split cannot know its starting CELL index locally.
+    Two distributed passes fix that (the same trick Spark's text source
+    uses for line offsets): pass 1 counts varint ends (bytes < 0x80) per
+    byte range -- one vectorized popcount per split -- and a driver
+    prefix-sum turns the counts into each split's absolute cell offset;
+    pass 2 decodes each range (a varint belongs to the split where it
+    ENDS; up to 9 continuation bytes are re-read from before the range
+    start) and emits cells at offset + arange. ``sparse=True`` drops
+    zero cells executor-side, so the returned frame is aggregate-sized,
+    not grid-sized. Total varint count is validated against rows*cols.
+    """
+    import os
+
+    import pandas as pd
+
+    size = os.path.getsize(path)
+    n_splits = max(1, -(-size // split_bytes))
+    bounds = [(i * split_bytes, min((i + 1) * split_bytes, size)) for i in range(n_splits)]
+    rdf = spark.createDataFrame(bounds, schema="start long, end long")
+
+    def count_ends(batches):
+        for pdf in batches:
+            rows_out = []
+            for s, e in zip(pdf["start"], pdf["end"]):
+                with open(path, "rb") as f:
+                    f.seek(int(s))
+                    b = np.frombuffer(f.read(int(e) - int(s)), dtype=np.uint8)
+                rows_out.append((int(s), int((b < 0x80).sum())))
+            yield pd.DataFrame(rows_out, columns=["start", "n_vals"])
+
+    counts = {
+        r["start"]: r["n_vals"]
+        for r in rdf.mapInPandas(count_ends, "start long, n_vals long").collect()
+    }
+    total = sum(counts.values())
+    if total != rows * cols:
+        raise ValueError(f"{path}: {total} varints, expected {rows * cols}")
+    offsets = []
+    acc = 0
+    for s, e in bounds:
+        offsets.append((s, e, acc))
+        acc += counts[s]
+    odf = spark.createDataFrame(offsets, schema="start long, end long, cell_off long")
+
+    def decode(batches):
+        for pdf in batches:
+            for s, e, off in zip(pdf["start"], pdf["end"], pdf["cell_off"]):
+                s, e, off = int(s), int(e), int(off)
+                back = min(s, 9)  # a uint64 varint is <= 10 bytes
+                with open(path, "rb") as f:
+                    f.seek(s - back)
+                    b = np.frombuffer(f.read(back + e - s), dtype=np.uint8)
+                ends = np.nonzero(b < 0x80)[0]
+                # first varint ending at/after s: may START before s --
+                # include its continuation bytes from the backread
+                first_end = int(np.searchsorted(ends, back))
+                if first_end == ends.size:
+                    continue  # no varint ends in this range
+                begin = 0 if first_end == 0 else int(ends[first_end - 1]) + 1
+                last = int(ends[np.searchsorted(ends, b.size) - 1])
+                vals = decode_varints_msb(b[begin:last + 1])
+                idx = off + np.arange(vals.size, dtype=np.int64)
+                if sparse:
+                    keep = vals != 0
+                    vals, idx = vals[keep], idx[keep]
+                yield pd.DataFrame({
+                    "row": (idx // cols).astype(np.int32),
+                    "col": (idx % cols).astype(np.int32),
+                    "cnt": vals.astype(np.int64),
+                })
+
+    return odf.repartition(n_splits, "start").mapInPandas(
+        decode, schema="row int, col int, cnt long"
     )
 
 

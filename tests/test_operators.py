@@ -527,6 +527,43 @@ class TestHeatMapExport:
         write_heat_map_file(counts, f"file://{uri_file}", rows=64, cols=128, band_rows=16)
         assert uri_file.read_bytes() == golden
 
+    @pytest.mark.parametrize("split_bytes", [64, 1024, 10**9])
+    def test_heat_map_reader_roundtrip(self, spark, tmp_path, split_bytes):
+        """write_heat_map_file -> read_heat_map_file recovers the exact
+        sparse counts, for splits far smaller than a row (varints straddle
+        split boundaries), mid-file, and bigger than the file. Counts
+        >= 2^21 force multi-byte varints."""
+        from osm_pbf_convert_spark.operators.tiling import (
+            read_heat_map_file,
+            write_heat_map_file,
+        )
+
+        rng = np.random.default_rng(29)
+        n = 250
+        pdf = pd.DataFrame({
+            "row": rng.integers(0, 64, n),
+            "col": rng.integers(0, 128, n),
+            "cnt": rng.integers(1, 2**28, n),
+        }).groupby(["row", "col"], as_index=False).agg(cnt=("cnt", "first"))
+        counts = spark.createDataFrame(pdf)
+        out_file = str(tmp_path / f"rt_{split_bytes}.heat.map")
+        write_heat_map_file(counts, out_file, rows=64, cols=128, band_rows=16)
+        back = read_heat_map_file(
+            spark, out_file, rows=64, cols=128, split_bytes=split_bytes
+        )
+        got = {(r["row"], r["col"]): r["cnt"] for r in back.collect()}
+        want = {(int(r), int(c)): int(v) for r, c, v in pdf.itertuples(index=False)}
+        assert got == want
+
+    def test_heat_map_reader_validates_count(self, spark, tmp_path):
+        p = str(tmp_path / "bad.heat.map")
+        with open(p, "wb") as f:
+            f.write(bytes([1, 2, 3]))  # 3 varints, not 64*128
+        from osm_pbf_convert_spark.operators.tiling import read_heat_map_file
+
+        with pytest.raises(ValueError, match="expected"):
+            read_heat_map_file(spark, p, rows=64, cols=128)
+
     def test_band_sink_out_of_range_errors(self, spark):
         """Cells outside the grid must FAIL the encode (silent drops would
         fake a complete byte dump); on_out_of_range='drop' opts into crop."""

@@ -16,11 +16,15 @@ class TestNoSlowPath:
         (SURVEY.md §7 hard parts). pandas_udf / mapInArrow / mapInPandas
         are the sanctioned vectorized escape hatches.
 
-        collect() exemption: rel_store.role_dictionary -- a bounded
-        DIMENSION collect (distinct role strings; a few hundred at planet
-        scale) whose result ships back as a broadcast literal map, the
-        same pattern as train_centroids' bounded sample."""
-        collect_allowed = {"rel_store.py"}
+        collect() exemptions, each a bounded metadata collect (never
+        data rows):
+        - rel_store.role_dictionary: distinct role strings (a few
+          hundred at planet scale), shipped back as a broadcast map;
+        - tiling.read_heat_map_file pass-1: ONE (start, n_vals) row per
+          byte split -- the varint-count prefix sum that turns byte
+          offsets into cell offsets, the same pattern as Spark's own
+          text-source line-offset scan."""
+        collect_allowed = {"rel_store.py": 1, "tiling.py": 1}
         bad = []
         for root, _, files in os.walk(PKG):
             for fn in files:
@@ -29,7 +33,8 @@ class TestNoSlowPath:
                 src = open(os.path.join(root, fn)).read()
                 for pat in (r"\.rdd\b", r"\bF\.udf\(", r"@udf\b", r"udf\.register", r"\.collect\(\)"):
                     if pat == r"\.collect\(\)" and fn in collect_allowed:
-                        assert src.count(".collect()") <= 1, f"{fn}: new collect() added"
+                        assert src.count(".collect()") <= collect_allowed[fn], \
+                            f"{fn}: new collect() added"
                         continue
                     for m in re.finditer(pat, src):
                         line = src[: m.start()].count("\n") + 1
