@@ -1,4 +1,9 @@
-"""Distributed reader for standalone ``.osm.pbf`` files on disk.
+"""Distributed reader AND writer for standalone ``.osm.pbf`` files.
+
+Reader: byte-range splits that self-synchronize to blob-frame
+boundaries (below). Writer: ``write_pbf_file`` re-encodes entity
+DataFrames into framed blocks on executors and streams them into one
+file -- ``read -> write -> read`` is a lossless circle (tested).
 
 The reference's primary input mode is a single multi-GB OSM extract
 processed as ONE sequential stream of ``[4-byte BE length][BlobHeader]
@@ -174,14 +179,21 @@ def _walk_split(f, start: int, end: int, file_size: int):
 
     # pre-filter window: the split plus 3 bytes so the u32 at end-1 exists
     f.seek(start)
-    window = np.frombuffer(f.read(end - start + 3), dtype=np.uint8)
+    raw = f.read(end - start + 3)
+    window = np.frombuffer(raw, dtype=np.uint8)
     off = _sync(read_at, window, start, end, file_size)
     while off is not None and off < end:
         fr = _frame_at(read_at, off, file_size)
         if fr is None:  # corrupt tail after a valid sync: stop this split
             raise ValueError(f"invalid frame at offset {off}")
         nxt, btype, hlen, dsize = fr
-        yield off, btype.decode(), read_at(off, 4 + hlen + dsize)
+        # frames fully inside the scan window slice from it; only the
+        # last frame of a split (crossing `end`) needs a second read
+        if nxt - start <= len(raw):
+            frame = raw[off - start:nxt - start]
+        else:
+            frame = read_at(off, 4 + hlen + dsize)
+        yield off, btype.decode(), frame
         off = nxt
 
 
@@ -260,3 +272,214 @@ def read_pbf_entities(spark, path, split_bytes: int = 64 * 1024 * 1024, **kw) ->
     return decode_entities(
         pbf_blob_frames(spark, path, split_bytes), payload_col="payload", **kw
     )
+
+
+# ---------------------------------------------------------------------------
+# write direction: DataFrames -> standalone .osm.pbf
+# ---------------------------------------------------------------------------
+
+
+def _as_dict(m) -> dict:
+    """Arrow map columns arrive as dicts OR lists of (k, v) tuples."""
+    if m is None:
+        return {}
+    return m if isinstance(m, dict) else dict(m)
+
+
+def pbf_block_frames(
+    nodes: DataFrame | None = None,
+    ways: DataFrame | None = None,
+    relations: DataFrame | None = None,
+    entities_per_block: int = 8000,
+    compress: bool = True,
+    granularity: int = 100,
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Distributed encode of OSM entities into framed PBF blobs:
+    (seq, n_bytes, frame binary), where concatenating frames in seq
+    order after an OSMHeader frame yields a valid ``.osm.pbf``.
+
+    Inputs use the DECODERS' schemas, so decode -> write -> decode is a
+    lossless circle: nodes(id, lat, lon, tags map), ways(id, refs,
+    tags), relations(id, members array<struct<member_type,ref,role>>,
+    tags). Coordinates re-quantize via ``coords_to_raw`` (the decode
+    inverse), bit-exact for any value the decoder produced. Entities
+    sort globally by (kind, id) and chunk into blocks of
+    ``entities_per_block`` per task -- blocks are self-contained (all
+    delta chains reset per block), so encoding is embarrassingly
+    parallel.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark import TaskContext
+
+    from osm_pbf_convert_spark.sources.pbf_encoder import (
+        DenseNodesSpec,
+        RelationSpec,
+        WaySpec,
+        coords_to_raw,
+        encode_primitive_block,
+        frame_blob,
+    )
+
+    null_refs = None
+    frames = []
+    if nodes is not None:
+        frames.append(
+            nodes.select(
+                F.lit(0).alias("kind"), F.col("id").cast("long"),
+                F.col("lat").cast("double"), F.col("lon").cast("double"),
+                F.lit(None).cast("array<bigint>").alias("refs"),
+                F.lit(None).cast(
+                    "array<struct<member_type:int,ref:bigint,role:string>>"
+                ).alias("members"),
+                (F.col("tags") if "tags" in nodes.columns else F.lit(None))
+                .cast("map<string,string>").alias("tags"),
+            )
+        )
+    if ways is not None:
+        frames.append(
+            ways.select(
+                F.lit(1).alias("kind"), F.col("id").cast("long"),
+                F.lit(None).cast("double").alias("lat"),
+                F.lit(None).cast("double").alias("lon"),
+                F.col("refs").cast("array<bigint>"),
+                F.lit(None).cast(
+                    "array<struct<member_type:int,ref:bigint,role:string>>"
+                ).alias("members"),
+                (F.col("tags") if "tags" in ways.columns else F.lit(None))
+                .cast("map<string,string>").alias("tags"),
+            )
+        )
+    if relations is not None:
+        frames.append(
+            relations.select(
+                F.lit(2).alias("kind"), F.col("id").cast("long"),
+                F.lit(None).cast("double").alias("lat"),
+                F.lit(None).cast("double").alias("lon"),
+                F.lit(None).cast("array<bigint>").alias("refs"),
+                F.col("members").cast(
+                    "array<struct<member_type:int,ref:bigint,role:string>>"
+                ),
+                (F.col("tags") if "tags" in relations.columns else F.lit(None))
+                .cast("map<string,string>").alias("tags"),
+            )
+        )
+    if not frames:
+        raise ValueError("at least one of nodes/ways/relations required")
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    spark = df.sparkSession
+    n = num_chunks or spark.sparkContext.defaultParallelism
+    df = df.repartitionByRange(n, "kind", "id").sortWithinPartitions("kind", "id")
+
+    def encode(batches):
+        pid = TaskContext.get().partitionId()
+        block_idx = 0
+        pend: list = []  # buffered rows of the current kind
+
+        def flush():
+            nonlocal block_idx, pend
+            if not pend:
+                return None
+            kind = pend[0][0]
+            if kind == 0:
+                spec = DenseNodesSpec(
+                    ids=[r[1] for r in pend],
+                    lats_raw=coords_to_raw([r[2] for r in pend], granularity, 0),
+                    lons_raw=coords_to_raw([r[3] for r in pend], granularity, 0),
+                    tags=[r[4] for r in pend],
+                )
+                block = encode_primitive_block(dense=spec, granularity=granularity)
+            elif kind == 1:
+                block = encode_primitive_block(
+                    ways=[WaySpec(id=r[1], refs=r[2], tags=r[4]) for r in pend]
+                )
+            else:
+                block = encode_primitive_block(
+                    relations=[
+                        RelationSpec(
+                            id=r[1],
+                            members=[
+                                (m["member_type"], m["ref"], m["role"] or "")
+                                for m in r[2]
+                            ],
+                            tags=r[4],
+                        )
+                        for r in pend
+                    ]
+                )
+            out = (pid * 10_000_000 + block_idx, frame_blob(block, compress=compress))
+            block_idx += 1
+            pend = []
+            return out
+
+        def emit(rows):
+            import pandas as _pd
+
+            return _pd.DataFrame(
+                [(s, len(fr), fr) for s, fr in rows],
+                columns=["seq", "n_bytes", "frame"],
+            )
+
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                kind = int(row.kind)
+                if kind == 0:
+                    vals = (0, int(row.id), float(row.lat), float(row.lon),
+                            _as_dict(row.tags))
+                elif kind == 1:
+                    refs = [] if row.refs is None else [int(x) for x in row.refs]
+                    vals = (1, int(row.id), refs, None, _as_dict(row.tags))
+                else:
+                    mem = [] if row.members is None else list(row.members)
+                    vals = (2, int(row.id), mem, None, _as_dict(row.tags))
+                if pend and (pend[0][0] != kind or len(pend) >= entities_per_block):
+                    out_rows.append(flush())
+                pend.append(vals)
+            if len(pend) >= entities_per_block:
+                out_rows.append(flush())
+            if out_rows:
+                yield emit(out_rows)
+        last = flush()
+        if last is not None:
+            yield emit([last])
+
+    return df.mapInPandas(encode, schema="seq long, n_bytes long, frame binary")
+
+
+def write_pbf_file(
+    out_path: str,
+    nodes: DataFrame | None = None,
+    ways: DataFrame | None = None,
+    relations: DataFrame | None = None,
+    entities_per_block: int = 8000,
+    compress: bool = True,
+    granularity: int = 100,
+    num_chunks: int | None = None,
+) -> int:
+    """Assemble a standalone ``.osm.pbf`` from entity DataFrames: an
+    OSMHeader frame, then the executor-encoded OSMData frames in (kind,
+    id) order. Blob frames are self-contained, so the driver only
+    streams pre-encoded bytes in seq order (the single-file format's
+    inherent serial tail, same as the reference store sinks). Returns
+    total bytes written. Completes the file-level interop circle:
+    ``read_pbf_*`` of the output decodes to the input rows."""
+    from osm_pbf_convert_spark.sources.pbf_encoder import field_bytes, frame_blob
+
+    frames = pbf_block_frames(
+        nodes, ways, relations, entities_per_block, compress, granularity,
+        num_chunks,
+    )
+    header_block = field_bytes(4, b"OsmSchema-V0.6") + field_bytes(4, b"DenseNodes")
+    total = 0
+    with open(_local_path(out_path), "wb") as f:
+        hdr = frame_blob(header_block, blob_type="OSMHeader", compress=False)
+        f.write(hdr)
+        total += len(hdr)
+        for row in frames.orderBy("seq").toLocalIterator():
+            f.write(bytes(row["frame"]))
+            total += len(row["frame"])
+    return total

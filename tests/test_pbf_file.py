@@ -150,3 +150,62 @@ class TestDistributedRead:
         df = pbf_blob_frames(spark, path, split_bytes=4096)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
+
+
+@pytest.mark.spark
+class TestPbfWriteSink:
+    def test_decode_write_decode_lossless(self, spark, tmp_path):
+        """read_pbf_* -> write_pbf_file -> read_pbf_* is a lossless
+        circle: ids, bit-exact coordinates, tags, way refs, relation
+        members all survive (multiple blocks per kind, compressed)."""
+        from osm_pbf_convert_spark.sources.pbf_file import (
+            read_pbf_ways,
+            read_pbf_relations,
+            write_pbf_file,
+        )
+
+        path, _, _, _ = _build_file(tmp_path, n_blobs=6, nodes_per_blob=150)
+        n0 = read_pbf_nodes(spark, path)
+        w0 = read_pbf_ways(spark, path)
+        r0 = read_pbf_relations(spark, path)
+
+        out = str(tmp_path / "rewritten.osm.pbf")
+        total = write_pbf_file(
+            out, nodes=n0, ways=w0, relations=r0,
+            entities_per_block=100,  # forces multiple blocks
+        )
+        import os
+        assert total == os.path.getsize(out)
+
+        n1 = read_pbf_nodes(spark, out)
+        w1 = read_pbf_ways(spark, out)
+        r1 = read_pbf_relations(spark, out)
+
+        def rows(df, cols):
+            return sorted(
+                tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+            )
+
+        assert rows(n1, ["id", "lat", "lon", "ilat", "ilon"]) == \
+            rows(n0, ["id", "lat", "lon", "ilat", "ilon"])
+        a = {r["id"]: (list(r["refs"]), dict(r["tags"] or {})) for r in w0.collect()}
+        b = {r["id"]: (list(r["refs"]), dict(r["tags"] or {})) for r in w1.collect()}
+        assert a == b
+        ra = {r["id"]: [tuple(m) for m in r["members"]] for r in r0.collect()}
+        rb = {r["id"]: [tuple(m) for m in r["members"]] for r in r1.collect()}
+        assert ra == rb
+
+    def test_written_file_has_header_and_ordering(self, spark, tmp_path):
+        from osm_pbf_convert_spark.sources.pbf_file import write_pbf_file
+
+        path, _, all_nodes, _ = _build_file(tmp_path, n_blobs=2)
+        nodes = read_pbf_nodes(spark, path)
+        out = str(tmp_path / "hdr.osm.pbf")
+        write_pbf_file(out, nodes=nodes, entities_per_block=75)
+        df = pbf_blob_frames(spark, out, split_bytes=2048)
+        rows = sorted(df.collect(), key=lambda r: r["offset"])
+        assert rows[0]["blob_type"] == "OSMHeader"
+        assert all(r["blob_type"] == "OSMData" for r in rows[1:])
+        # node ids ascend across the file (global (kind, id) range sort)
+        got = read_pbf_nodes(spark, out).collect()
+        assert {r["id"] for r in got} == {i for i, _, _ in all_nodes}

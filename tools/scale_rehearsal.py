@@ -154,7 +154,10 @@ def main():
                     help="with --assert: check the plan gates WITHOUT "
                          "executing (plain local session, seconds not "
                          "minutes -- the per-round regression gate)")
-    ap.add_argument("--max-disk-spill-mb", type=float, default=512.0)
+    # calibrated ~1.5x the known-good join_ways_nodes disk spill at x16
+    # (626 MB in rounds 3+4, judged bounded; spill scales with shuffle
+    # volume per partition, so re-calibrate when changing --replicate)
+    ap.add_argument("--max-disk-spill-mb", type=float, default=1024.0)
     args = ap.parse_args()
 
     from osm_pbf_convert_spark.session import get_spark
@@ -275,7 +278,7 @@ def main():
     if not args.no_append:
         lines = [
             "",
-            f"## 10x scale rehearsal (round 3): sf0.1 x{args.replicate}, "
+            f"## 10x scale rehearsal: sf0.1 x{args.replicate}, "
             f"{args.executors} executor JVMs",
             "",
             f"Input: {n_docs:,} pages / {n_nodes:,} nodes decoded; dedup corpus "
