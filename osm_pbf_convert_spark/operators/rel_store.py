@@ -186,22 +186,41 @@ def role_dictionary(assembled: DataFrame) -> list:
 def rel_segments(assembled: DataFrame, roles: list, num_chunks: int | None = None) -> DataFrame:
     """Distributed encode: one pre-encoded blob row per Arrow batch; the
     first relation of each partition has its id delta encoded vs 0
-    (``fresh``), patched by the driver."""
+    (``fresh``), patched by the driver.
+
+    Fully vectorized like the node/way/spatial-block sinks: null
+    handling (rect defaults, mid sentinels, empty roles) happens in
+    Column-land, member fields travel as flat arrays, and the chain
+    arithmetic (id deltas across relations, per-relation member chains
+    via segmented deltas) is numpy scatter + one varint pass per batch.
+    """
     from pyspark.sql import functions as F
     import pandas as pd
 
     spark = assembled.sparkSession
     n = num_chunks or spark.sparkContext.defaultParallelism
     role_map = {r: i for i, r in enumerate(roles)}
+    mem = F.col("members")
     df = (
         assembled.select(
-            F.col("rel_id").cast("long"), "members",
-            F.col("min_ilat").cast("long"), F.col("min_ilon").cast("long"),
-            F.col("max_ilat").cast("long"), F.col("max_ilon").cast("long"),
+            F.col("rel_id").cast("long"),
+            F.coalesce(F.col("min_ilat").cast("long"), F.lit(INT_MAX)).alias("min_lat"),
+            F.coalesce(F.col("min_ilon").cast("long"), F.lit(INT_MAX)).alias("min_lon"),
+            F.coalesce(F.col("max_ilat").cast("long"), F.lit(INT_MIN)).alias("max_lat"),
+            F.coalesce(F.col("max_ilon").cast("long"), F.lit(INT_MIN)).alias("max_lon"),
+            mem["member_type"].cast("array<long>").alias("m_types"),
+            mem["ref"].cast("array<long>").alias("m_refs"),
+            F.transform(mem, lambda m: F.coalesce(m["mid_ilat"].cast("long"), F.lit(INT_MIN))).alias("m_lats"),
+            F.transform(mem, lambda m: F.coalesce(m["mid_ilon"].cast("long"), F.lit(INT_MIN))).alias("m_lons"),
+            F.transform(mem, lambda m: F.coalesce(m["role"], F.lit(""))).alias("m_roles"),
         )
         .repartitionByRange(n, "rel_id")
         .sortWithinPartitions("rel_id")
     )
+
+    def _zz(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.int64)
+        return ((v << np.int64(1)) ^ (v >> np.int64(63))).astype(np.uint64)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         prev_id = 0
@@ -209,38 +228,66 @@ def rel_segments(assembled: DataFrame, roles: list, num_chunks: int | None = Non
         for pdf in batches:
             if not len(pdf):
                 continue
+            nrels = len(pdf)
             ids = pdf["rel_id"].to_numpy(np.int64)
-            vals: list = []
-            last = prev_id
-            for rid, members, mnlat, mnlon, mxlat, mxlon in zip(
-                pdf["rel_id"], pdf["members"], pdf["min_ilat"], pdf["min_ilon"],
-                pdf["max_ilat"], pdf["max_ilon"],
-            ):
-                rid = int(rid)
-                min_lat = INT_MAX if mnlat is None or np.isnan(mnlat) else int(mnlat)
-                min_lon = INT_MAX if mnlon is None or np.isnan(mnlon) else int(mnlon)
-                max_lat = INT_MIN if mxlat is None or np.isnan(mxlat) else int(mxlat)
-                max_lon = INT_MIN if mxlon is None or np.isnan(mxlon) else int(mxlon)
-                vals += [
-                    rid - last, 0, _zz1(min_lat), _zz1(min_lon),
-                    (max_lat - min_lat) & _U64, (max_lon - min_lon) & _U64,
-                    len(members),
-                ]
-                last = rid
-                lm = lla = llo = 0
-                for m in members:
-                    mtype = int(m["member_type"])
-                    mid = int(m["ref"])
-                    mid_lat = m["mid_ilat"]
-                    mid_lon = m["mid_ilon"]
-                    mid_lat = INT_MIN if mid_lat is None else int(mid_lat)
-                    mid_lon = INT_MIN if mid_lon is None else int(mid_lon)
-                    vals += [
-                        mtype, _zz1(mid - lm), role_map[m["role"] or ""],
-                        _zz1(mid_lat - lla), _zz1(mid_lon - llo),
-                    ]
-                    lm, lla, llo = mid, mid_lat, mid_lon
-            blob = encode_varints_msb_np(np.array(vals, dtype=np.uint64))
+            lists = list(pdf["m_types"])
+            cnts = np.fromiter(
+                (0 if a is None else len(a) for a in lists), np.int64, nrels
+            )
+            total_m = int(cnts.sum())
+
+            def flat(col, dtype=np.int64):
+                arrs = [np.asarray(a, dtype) for a in pdf[col] if a is not None and len(a)]
+                return np.concatenate(arrs) if arrs else np.empty(0, dtype)
+
+            did = np.empty_like(ids)
+            did[0] = ids[0] - prev_id
+            np.subtract(ids[1:], ids[:-1], out=did[1:])
+            mn_lat = pdf["min_lat"].to_numpy(np.int64)
+            mn_lon = pdf["min_lon"].to_numpy(np.int64)
+            mx_lat = pdf["max_lat"].to_numpy(np.int64)
+            mx_lon = pdf["max_lon"].to_numpy(np.int64)
+
+            vals = np.empty(7 * nrels + 5 * total_m, dtype=np.uint64)
+            rec_starts = np.zeros(nrels, dtype=np.int64)
+            np.cumsum(7 + 5 * cnts[:-1], out=rec_starts[1:])
+            vals[rec_starts] = did.astype(np.uint64)
+            vals[rec_starts + 1] = 0
+            vals[rec_starts + 2] = _zz(mn_lat)
+            vals[rec_starts + 3] = _zz(mn_lon)
+            vals[rec_starts + 4] = (mx_lat - mn_lat).astype(np.uint64)
+            vals[rec_starts + 5] = (mx_lon - mn_lon).astype(np.uint64)
+            vals[rec_starts + 6] = cnts.astype(np.uint64)
+            if total_m:
+                first_m = np.zeros(nrels, dtype=np.int64)
+                np.cumsum(cnts[:-1], out=first_m[1:])
+                r_of = np.repeat(np.arange(nrels), cnts)
+                i_of = np.arange(total_m, dtype=np.int64) - np.repeat(first_m, cnts)
+                base = (rec_starts + 7)[r_of] + 5 * i_of
+
+                # reset indexes: first member of each NON-EMPTY relation
+                # (an empty relation's first_m aliases the next relation's
+                # -- or, when trailing, an arbitrary member -- so writing
+                # through it would corrupt a mid-chain delta)
+                fi = first_m[cnts > 0]
+
+                def chain(a):
+                    # per-relation reset: first member's delta is vs 0
+                    d = a.copy()
+                    d[1:] -= a[:-1]
+                    d[fi] = a[fi]
+                    return _zz(d)
+
+                roles_flat = np.concatenate(
+                    [np.asarray(a, object) for a in pdf["m_roles"] if a is not None and len(a)]
+                )
+                role_ids = pd.Series(roles_flat).map(role_map).to_numpy(np.int64)
+                vals[base] = flat("m_types").astype(np.uint64)
+                vals[base + 1] = chain(flat("m_refs"))
+                vals[base + 2] = role_ids.astype(np.uint64)
+                vals[base + 3] = chain(flat("m_lats"))
+                vals[base + 4] = chain(flat("m_lons"))
+            blob = encode_varints_msb_np(vals)
             yield pd.DataFrame({"ids": [ids], "blob": [blob], "fresh": [fresh]})
             prev_id = int(ids[-1])
             fresh = False

@@ -126,6 +126,22 @@ class TestDistributedSink:
         assert open(out + ".strs", "rb").read() == golden_strs
         assert (n_dat, n_strs) == (len(golden_dat), len(golden_strs))
 
+    def test_empty_member_relations_byte_equal(self, spark, tmp_path):
+        """Relations with ZERO members (including a trailing one, whose
+        reset index would alias a mid-chain member if handled naively)
+        must still produce byte-identical output."""
+        rels = _synth_rels(40, seed=77)
+        rels = [
+            (rid, rect, [] if i % 5 == 0 else members)
+            for i, (rid, rect, members) in enumerate(rels)
+        ]
+        rels[-1] = (rels[-1][0], None, [])  # trailing empty relation
+        golden_dat, golden_strs, _ = encode_rels_file_py(rels)
+        out = str(tmp_path / "empty.rels")
+        write_rels_file(self._mk_df(spark, rels), out, num_chunks=2)
+        assert open(out, "rb").read() == golden_dat
+        assert open(out + ".strs", "rb").read() == golden_strs
+
     def test_from_assemble_relations(self, spark, tmp_path):
         """End-to-end: sink consumes assemble_relations output and matches
         the golden built from the same assembled rows."""

@@ -85,3 +85,41 @@ class TestDenseRoundtrip:
         out = parse_payload(build_payload([frame_blob(block)]))
         assert out.relations.ids == [rid]
         assert out.relations.members[0] == members
+
+
+class TestPbfFileSplitProperty:
+    """Random blob sizes x random split sizes: byte-range splits of a
+    standalone .pbf must partition the frame set exactly (each frame
+    owned by the split holding its first byte, none lost, none doubled,
+    bytes intact)."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def test_split_ownership_exact(self, data):
+        import io
+
+        from osm_pbf_convert_spark.sources.pbf_file import _walk_split
+
+        n_blobs = data.draw(st.integers(min_value=1, max_value=8))
+        frames = []
+        for i in range(n_blobs):
+            size = data.draw(st.integers(min_value=0, max_value=400))
+            payload = bytes(data.draw(st.binary(min_size=size, max_size=size)))
+            btype = data.draw(st.sampled_from(["OSMData", "OSMHeader"]))
+            compress = data.draw(st.booleans())
+            frames.append(frame_blob(payload, blob_type=btype, compress=compress))
+        blob = b"".join(frames)
+        split_bytes = data.draw(st.integers(min_value=1, max_value=len(blob) + 64))
+        f = io.BytesIO(blob)
+        got = []
+        s = 0
+        while s < len(blob):
+            e = min(s + split_bytes, len(blob))
+            got.extend((off, fr) for off, _, fr in _walk_split(f, s, e, len(blob)))
+            s += split_bytes
+        expect = []
+        off = 0
+        for fr in frames:
+            expect.append((off, bytes(fr)))
+            off += len(fr)
+        assert [(o, bytes(fr)) for o, fr in got] == expect
