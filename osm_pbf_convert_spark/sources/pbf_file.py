@@ -169,9 +169,21 @@ def _sync(read_at, window: np.ndarray, base: int, end: int, file_size: int):
     return None
 
 
-def _walk_split(f, start: int, end: int, file_size: int):
+def _walk_split(f, start: int, end: int, file_size: int,
+                on_error: str = "raise", bad_bytes=None):
     """Yield (offset, blob_type, frame_bytes) for every frame starting in
-    [start, end); the last one may extend past ``end``."""
+    [start, end); the last one may extend past ``end``.
+
+    ``on_error``: "raise" preserves reference parity (the C# processor
+    crashes on a malformed stream); "resync" is the 100 TB production
+    mode -- a corrupt region is skipped by scanning forward to the next
+    provable frame boundary. ``bad_bytes`` (a Spark accumulator)
+    receives the skipped bytes this split can PROVE are damage (found
+    after a decoded frame, or before the first frame at offset 0); a
+    LOWER bound, because damage at a split's leading edge is locally
+    indistinguishable from a legitimate mid-frame split start. The
+    exact global measure is ``file_size - sum(n_bytes)`` over the
+    returned frames."""
 
     def read_at(off, n):
         f.seek(off)
@@ -182,10 +194,23 @@ def _walk_split(f, start: int, end: int, file_size: int):
     raw = f.read(end - start + 3)
     window = np.frombuffer(raw, dtype=np.uint8)
     off = _sync(read_at, window, start, end, file_size)
+    if off is not None and off > start and on_error == "resync" and start == 0:
+        # damage before the very first frame (interior splits legitimately
+        # start mid-frame, but offset 0 must be a boundary)
+        if bad_bytes is not None:
+            bad_bytes.add(off)
     while off is not None and off < end:
         fr = _frame_at(read_at, off, file_size)
-        if fr is None:  # corrupt tail after a valid sync: stop this split
-            raise ValueError(f"invalid frame at offset {off}")
+        if fr is None:
+            if on_error != "resync":  # corrupt tail after a valid sync
+                raise ValueError(f"invalid frame at offset {off}")
+            nxt_off = _sync(
+                read_at, window[off + 1 - start:], off + 1, end, file_size
+            )
+            if bad_bytes is not None:
+                bad_bytes.add((nxt_off if nxt_off is not None else end) - off)
+            off = nxt_off
+            continue
         nxt, btype, hlen, dsize = fr
         # frames fully inside the scan window slice from it; only the
         # last frame of a split (crossing `end`) needs a second read
@@ -198,15 +223,24 @@ def _walk_split(f, start: int, end: int, file_size: int):
 
 
 def pbf_blob_frames(
-    spark: SparkSession, path: str, split_bytes: int = 64 * 1024 * 1024
+    spark: SparkSession, path: str, split_bytes: int = 64 * 1024 * 1024,
+    on_error: str = "raise", bad_bytes=None,
 ) -> DataFrame:
     """One row per blob frame of a standalone ``.osm.pbf`` file, decoded
     in parallel byte-range splits: (url, path, offset, blob_type,
     n_bytes, payload). ``payload`` is the original frame bytes --
     exactly what ``parse_payload`` consumes -- and ``url`` is the
-    ``<path>#<offset>`` per-blob lineage identity."""
+    ``<path>#<offset>`` per-blob lineage identity.
+
+    ``on_error="resync"`` (with an optional ``bad_bytes`` accumulator)
+    skips corrupt FRAMING by scanning to the next provable boundary --
+    the production mode for damaged extracts; corruption INSIDE an
+    intact frame (bad zlib, garbage protobuf) surfaces one layer up in
+    the decoders' own ``on_error="skip"`` / ``bad_counter`` policy."""
     import pandas as pd
 
+    if on_error not in ("raise", "resync"):
+        raise ValueError("on_error must be 'raise' or 'resync'")
     local = _local_path(path)
     size = os.path.getsize(local)
     n_splits = max(1, -(-size // split_bytes))
@@ -225,7 +259,9 @@ def pbf_blob_frames(
             ):
                 rows = []
                 with open(p, "rb") as f:
-                    for off, btype, frame in _walk_split(f, int(s), int(e), int(fsize)):
+                    for off, btype, frame in _walk_split(
+                        f, int(s), int(e), int(fsize), on_error, bad_bytes
+                    ):
                         rows.append((f"{p}#{off}", p, off, btype, len(frame), frame))
                 if rows:
                     yield pd.DataFrame(
