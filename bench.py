@@ -290,6 +290,7 @@ def main():
             "sessionization", "tag_stats_by_kind", "knn_multi_tile", "pip_rects",
             "simhash_hamming_pairs", "tag_dict_encode", "ngram_jaccard_lsh",
             "lang_id", "fingerprint", "ivf_topk", "tile_windows",
+            "pbf_file_nodes",
         ]
         spreads = []
         for name in subset:

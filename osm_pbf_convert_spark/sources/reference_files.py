@@ -167,28 +167,47 @@ def read_ways_file(
                     f.seek(int(start))
                     buf = f.read(int(end) - int(start))
                 vals = decode_varints_msb(buf)
-                pos = 0
-                last_id = None
-                for _ in range(int(n_ways)):
-                    did = int(vals[pos])
-                    cnt = int(vals[pos + 1])
-                    pos += 2
-                    wid = int(first_id) if last_id is None else last_id + did
-                    last_id = wid
-                    trip = vals[pos : pos + 3 * cnt].reshape(-1, 3)
-                    pos += 3 * cnt
-                    nid = np.cumsum(zigzag_decode(trip[:, 0]))
-                    nla = np.cumsum(zigzag_decode(trip[:, 1]))
-                    nlo = np.cumsum(zigzag_decode(trip[:, 2]))
-                    out_ids.append(wid)
+                n_ways = int(n_ways)
+                # hop walk (2 value touches per way), then vectorized
+                # extraction: triplet chains reset per way -> segmented
+                # cumsum over the flat node stream
+                starts = np.empty(n_ways, dtype=np.int64)
+                cnts = np.empty(n_ways, dtype=np.int64)
+                p = 0
+                for r in range(n_ways):
+                    starts[r] = p
+                    c = int(vals[p + 1])
+                    cnts[r] = c
+                    p += 2 + 3 * c
+                if p != vals.size:
+                    raise ValueError("corrupt ways range (trailing varints)")
+                dids = vals[starts].astype(np.int64)
+                wids = np.cumsum(dids) - dids[0] + int(first_id)
+                total = int(cnts.sum())
+                first_n = np.zeros(n_ways, dtype=np.int64)
+                np.cumsum(cnts[:-1], out=first_n[1:])
+                r_of = np.repeat(np.arange(n_ways), cnts)
+                i_of = np.arange(total, dtype=np.int64) - np.repeat(first_n, cnts)
+                base = (starts + 2)[r_of] + 3 * i_of
+
+                def segcum(d):
+                    c = np.cumsum(d)
+                    fi = np.clip(first_n, 0, max(total - 1, 0))
+                    return c - np.repeat(c[fi] - d[fi], cnts)
+
+                nid = segcum(zigzag_decode(vals[base]))
+                nla = segcum(zigzag_decode(vals[base + 1]))
+                nlo = segcum(zigzag_decode(vals[base + 2]))
+                out_ids.extend(wids.tolist())
+                cursor = 0
+                for c in cnts.tolist():
                     out_nodes.append(
                         [
-                            {"id": int(a), "ilat": int(b), "ilon": int(c)}
-                            for a, b, c in zip(nid, nla, nlo)
+                            {"id": int(nid[k]), "ilat": int(nla[k]), "ilon": int(nlo[k])}
+                            for k in range(cursor, cursor + c)
                         ]
                     )
-                if pos != vals.size:
-                    raise ValueError("corrupt ways range (trailing varints)")
+                    cursor += c
             yield pd.DataFrame({"id": out_ids, "nodes": out_nodes})
 
     return rdf.repartition(len(splits), "start").mapInPandas(
