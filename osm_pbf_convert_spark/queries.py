@@ -879,6 +879,35 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_pbf_roundtrip_nodes(spark, sf_dir):
+    """The full file-interop circle under the hash gate: read the .pbf
+    fixture distributed -> write_pbf_file re-encodes it (executor block
+    encode, driver frame stream) -> read the REWRITTEN file distributed
+    -> same per-bucket aggregate. Any loss anywhere in decode ->
+    re-quantize -> re-encode -> re-decode breaks the oracle hash."""
+    import tempfile
+
+    from osm_pbf_convert_spark.sources.pbf_file import read_pbf_nodes, write_pbf_file
+
+    src = _pbf_file(spark, sf_dir)
+    out = src.replace(".osm.pbf", ".rt.osm.pbf")
+    if not os.path.exists(out):
+        # granularity=1 matches the fixture encode (pages.py synth), so
+        # coords_to_raw recovers the exact raw integers and the re-decoded
+        # float64 coordinates are bit-identical
+        write_pbf_file(
+            out, nodes=read_pbf_nodes(spark, src, split_bytes=1 << 20),
+            entities_per_block=4000, granularity=1,
+        )
+    nodes = read_pbf_nodes(spark, out, split_bytes=1 << 20)
+    return nodes.groupBy(F.pmod(F.col("id"), F.lit(97)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("ilat").cast("long")).alias("sum_ilat"),
+        F.sum(F.col("ilon").cast("long")).alias("sum_ilon"),
+        F.sum("id").alias("sum_id"),
+    )
+
+
 def q_decode_ways(spark, sf_dir):
     ways = decode_ways(_pages(spark, sf_dir))
     return ways.select(
@@ -1611,6 +1640,7 @@ QUERIES = {
     "decode_nodes": q_decode_nodes,
     "decode_ways": q_decode_ways,
     "pbf_file_nodes": q_pbf_file_nodes,
+    "pbf_roundtrip_nodes": q_pbf_roundtrip_nodes,
     "pages_geo": q_pages_geo,
     "way_size_histogram": q_way_size_histogram,
     "heavy_hitters": q_heavy_hitters,
@@ -1659,6 +1689,7 @@ ORACLES = {
     "decode_nodes": _Q_DECODE_ORACLE,
     "decode_ways": _Q_DECODE_WAYS_ORACLE,
     "pbf_file_nodes": _Q_PBF_FILE_ORACLE,
+    "pbf_roundtrip_nodes": _Q_PBF_FILE_ORACLE,
     "pages_geo": _Q_PAGES_GEO_ORACLE,
     "way_size_histogram": _Q_WAYSIZE_ORACLE,
     "heavy_hitters": _Q_HEAVY_ORACLE,
