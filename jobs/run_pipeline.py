@@ -12,6 +12,11 @@ Cluster usage (north rule):
       --checkpoint s3://bucket/geo_ckpt \
       --partitions 4096
 
+    # or straight off a standalone OSM extract (the reference's input):
+    spark-submit --py-files dist/osm_pbf_convert_spark.zip \
+      jobs/run_pipeline.py --pbf /data/planet.osm.pbf \
+      --out /data/geo_out --checkpoint /data/geo_ckpt --partitions 4096
+
 The job is idempotently resumable: input pages are bucketed into
 ``--partitions`` logical partitions by xxhash64(url); completed partitions
 are recorded in the checkpoint table and skipped on re-run; output is
@@ -32,13 +37,18 @@ from pyspark.sql import functions as F
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--pages", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--pbf", help="standalone .osm.pbf file (the reference's "
+                                  "input mode): distributed byte-range read; "
+                                  "url lineage = <path>#<offset> per blob")
     ap.add_argument("--out", required=True, help="output root (entities/, tiles/, pages_geo/)")
     ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
     ap.add_argument("--partitions", type=int, default=256, help="logical resume partitions")
     ap.add_argument("--max-zoom", type=int, default=12)
     ap.add_argument("--job-id", default="pipeline-v1")
     args = ap.parse_args()
+    if bool(args.pages) == bool(args.pbf):
+        ap.error("exactly one of --pages / --pbf is required")
 
     spark = (
         SparkSession.builder.appName("osm-pbf-convert-spark-pipeline")
@@ -52,7 +62,18 @@ def main():
     from osm_pbf_convert_spark.sources.pbf import decode_entities
 
     table = CheckpointTable(args.checkpoint)
-    pages = spark.read.parquet(args.pages).withColumn(
+    if args.pbf:
+        # blob frames are deterministic per file (same offsets on every
+        # re-scan), so the url-hash bucketing gives stable resume
+        # partitions exactly as for a pages table
+        from osm_pbf_convert_spark.sources.pbf_file import pbf_blob_frames
+
+        pages = pbf_blob_frames(spark, args.pbf).select(
+            "url", F.col("payload").alias("html")
+        )
+    else:
+        pages = spark.read.parquet(args.pages)
+    pages = pages.withColumn(
         "partition_id", F.pmod(F.xxhash64("url"), F.lit(args.partitions))
     )
 
@@ -98,9 +119,12 @@ def main():
     resolve_ways(ways, nodes.drop("url")).write.mode("overwrite").parquet(f"{args.out}/ways_resolved")
     tile_pyramid(nodes, max_z=args.max_zoom, min_z=0).write.mode("overwrite").parquet(f"{args.out}/tiles")
     heat_map(nodes).write.mode("overwrite").parquet(f"{args.out}/heat")
-    join_pages_geo(spark.read.parquet(args.pages), nodes).write.mode("overwrite").parquet(
-        f"{args.out}/pages_geo"
-    )
+    if args.pages:
+        # pages_geo joins the page TEXT back to its geo extent -- only
+        # meaningful for the pages-table input (a raw extract has no text)
+        join_pages_geo(spark.read.parquet(args.pages), nodes).write.mode("overwrite").parquet(
+            f"{args.out}/pages_geo"
+        )
     print("pipeline complete")
     spark.stop()
 
