@@ -681,4 +681,4 @@ def read_spatial_blocks(spark, block_dir: str) -> DataFrame:
         "v5 long, v6 long, wnodes array<struct<id:long,ilat:long,ilon:long>>, "
         "item_type long, tags " + TAGS_SCHEMA
     )
-    return fdf.repartition(len(files), "tile").mapInPandas(decode, schema=schema)
+    return fdf.repartitionByRange(len(files), "tile").mapInPandas(decode, schema=schema)

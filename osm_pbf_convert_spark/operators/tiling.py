@@ -273,7 +273,7 @@ def read_heat_map_file(
                     "cnt": vals.astype(np.int64),
                 })
 
-    return odf.repartition(n_splits, "start").mapInPandas(
+    return odf.repartitionByRange(n_splits, "start").mapInPandas(
         decode, schema="row int, col int, cnt long"
     )
 

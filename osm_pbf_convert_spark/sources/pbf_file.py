@@ -270,7 +270,7 @@ def pbf_blob_frames(
                                  "n_bytes", "payload"],
                     )
 
-    return sdf.repartition(n_splits, "start").mapInPandas(
+    return sdf.repartitionByRange(n_splits, "start").mapInPandas(
         scan,
         schema="url string, path string, offset long, blob_type string, "
                "n_bytes long, payload binary",

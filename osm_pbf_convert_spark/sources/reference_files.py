@@ -101,7 +101,7 @@ def read_nodes_index(
                 lons = np.cumsum(zigzag_decode(trip[:, 2]))
                 yield pd.DataFrame({"id": ids, "ilat": lats, "ilon": lons})
 
-    return rdf.repartition(len(ranges), "start").mapInPandas(
+    return rdf.repartitionByRange(len(ranges), "start").mapInPandas(
         decode, schema="id long, ilat long, ilon long"
     )
 
@@ -210,7 +210,7 @@ def read_ways_file(
                     cursor += c
             yield pd.DataFrame({"id": out_ids, "nodes": out_nodes})
 
-    return rdf.repartition(len(splits), "start").mapInPandas(
+    return rdf.repartitionByRange(len(splits), "start").mapInPandas(
         decode, schema="id long, nodes array<struct<id:long,ilat:long,ilon:long>>"
     )
 
@@ -365,7 +365,7 @@ def read_rels_file(
                     "max_ilat": max_lat, "max_ilon": max_lon, "members": members,
                 })
 
-    return rdf.repartition(len(splits), "start").mapInPandas(
+    return rdf.repartitionByRange(len(splits), "start").mapInPandas(
         decode,
         schema="rel_id long, min_ilat long, min_ilon long, max_ilat long, "
                "max_ilon long, members array<struct<member_type:int,ref:long,"
