@@ -194,11 +194,16 @@ def _walk_split(f, start: int, end: int, file_size: int,
     raw = f.read(end - start + 3)
     window = np.frombuffer(raw, dtype=np.uint8)
     off = _sync(read_at, window, start, end, file_size)
-    if off is not None and off > start and on_error == "resync" and start == 0:
-        # damage before the very first frame (interior splits legitimately
-        # start mid-frame, but offset 0 must be a boundary)
+    if start == 0 and end > 0 and off != 0:
+        # offset 0 must be a boundary (interior splits legitimately start
+        # mid-frame; the file head does not)
+        if on_error != "resync":
+            raise ValueError(
+                f"no valid blob frame at offset 0 (not a .osm.pbf file?); "
+                f"first provable frame boundary: {off}"
+            )
         if bad_bytes is not None:
-            bad_bytes.add(off)
+            bad_bytes.add(off if off is not None else end)
     while off is not None and off < end:
         fr = _frame_at(read_at, off, file_size)
         if fr is None:

@@ -323,3 +323,31 @@ class TestExtractStream:
             by_file.setdefault(r["url"].rsplit("/", 1)[-1], set()).add(r["id"])
         assert set(by_file) == {f"region{i}.osm.pbf" for i in range(3)}
         assert set().union(*by_file.values()) == all_ids
+
+
+class TestNotAPbf:
+    def test_non_pbf_file_fails_loud(self, tmp_path):
+        """Pointing the reader at a non-PBF file must raise, not silently
+        return zero frames (first-contact behavior)."""
+        import io
+
+        p = tmp_path / "random.bin"
+        p.write_bytes(np.random.default_rng(1).integers(0, 256, 5000).astype("u1").tobytes())
+        with pytest.raises(ValueError, match="not a .osm.pbf"):
+            list(_walk_split(io.BytesIO(p.read_bytes()), 0, 5000, 5000))
+
+    def test_non_pbf_resync_counts_whole_file(self, tmp_path):
+        import io
+
+        class Acc:
+            value = 0
+
+            def add(self, v):
+                self.value += v
+
+        data = np.random.default_rng(2).integers(0, 256, 3000).astype("u1").tobytes()
+        acc = Acc()
+        frames = list(_walk_split(io.BytesIO(data), 0, 3000, 3000,
+                                  on_error="resync", bad_bytes=acc))
+        assert frames == []
+        assert acc.value == 3000
