@@ -351,3 +351,21 @@ class TestNotAPbf:
                                   on_error="resync", bad_bytes=acc))
         assert frames == []
         assert acc.value == 3000
+
+
+@pytest.mark.spark
+class TestWriteSinkEdges:
+    def test_empty_nodes_writes_header_only(self, spark, tmp_path):
+        from osm_pbf_convert_spark.sources.pbf_file import write_pbf_file
+
+        empty = spark.createDataFrame(
+            [], schema="id long, lat double, lon double, tags map<string,string>"
+        )
+        out = str(tmp_path / "empty.osm.pbf")
+        total = write_pbf_file(out, nodes=empty)
+        import os
+        assert total == os.path.getsize(out) > 0
+        df = pbf_blob_frames(spark, out, split_bytes=10**9)
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["blob_type"] == "OSMHeader"
+        assert read_pbf_nodes(spark, out).count() == 0
