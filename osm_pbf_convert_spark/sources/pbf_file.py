@@ -241,18 +241,34 @@ def pbf_blob_frames(
     skips corrupt FRAMING by scanning to the next provable boundary --
     the production mode for damaged extracts; corruption INSIDE an
     intact frame (bad zlib, garbage protobuf) surfaces one layer up in
-    the decoders' own ``on_error="skip"`` / ``bad_counter`` policy."""
+    the decoders' own ``on_error="skip"`` / ``bad_counter`` policy.
+
+    ``path`` may be one file, a glob (``extracts/*.osm.pbf``), or a
+    list of either -- region extract SETS read as one DataFrame, each
+    file split independently (per-file lineage keeps them apart)."""
+    import glob as _glob
+
     import pandas as pd
 
     if on_error not in ("raise", "resync"):
         raise ValueError("on_error must be 'raise' or 'resync'")
-    local = _local_path(path)
-    size = os.path.getsize(local)
-    n_splits = max(1, -(-size // split_bytes))
-    bounds = [
-        (local, i * split_bytes, min((i + 1) * split_bytes, size), size)
-        for i in range(n_splits)
-    ]
+    patterns = [path] if isinstance(path, str) else list(path)
+    files = []
+    for pat in patterns:
+        local = _local_path(pat)
+        matched = sorted(_glob.glob(local)) if _glob.has_magic(local) else [local]
+        if not matched:
+            raise FileNotFoundError(f"no files match {pat!r}")
+        files.extend(matched)
+    bounds = []
+    for local in files:
+        size = os.path.getsize(local)
+        n = max(1, -(-size // split_bytes))
+        bounds.extend(
+            (local, i * split_bytes, min((i + 1) * split_bytes, size), size)
+            for i in range(n)
+        )
+    n_splits = len(bounds)
     sdf = spark.createDataFrame(
         bounds, schema="path string, start long, end long, file_size long"
     )
@@ -275,7 +291,7 @@ def pbf_blob_frames(
                                  "n_bytes", "payload"],
                     )
 
-    return sdf.repartitionByRange(n_splits, "start").mapInPandas(
+    return sdf.repartitionByRange(n_splits, "path", "start").mapInPandas(
         scan,
         schema="url string, path string, offset long, blob_type string, "
                "n_bytes long, payload binary",

@@ -369,3 +369,31 @@ class TestWriteSinkEdges:
         rows = df.collect()
         assert len(rows) == 1 and rows[0]["blob_type"] == "OSMHeader"
         assert read_pbf_nodes(spark, out).count() == 0
+
+
+@pytest.mark.spark
+class TestMultiFile:
+    def test_glob_and_list_inputs(self, spark, tmp_path):
+        """A glob or list of extracts reads as one DataFrame; per-file
+        lineage keeps identical entity ids apart."""
+        import os
+
+        ids_by_file = {}
+        for i in range(3):
+            p, _, nodes_i, _ = _build_file(tmp_path, n_blobs=2, nodes_per_blob=30,
+                                           seed=200 + i)
+            newp = str(tmp_path / f"part{i}.osm.pbf")
+            os.rename(p, newp)
+            ids_by_file[f"part{i}.osm.pbf"] = {nid for nid, _, _ in nodes_i}
+
+        for src in (str(tmp_path / "part*.osm.pbf"),
+                    [str(tmp_path / f"part{i}.osm.pbf") for i in range(3)]):
+            nodes = read_pbf_nodes(spark, src, split_bytes=2048)
+            got = {}
+            for r in nodes.collect():
+                got.setdefault(r["url"].rsplit("/", 1)[-1].split("#")[0], set()).add(r["id"])
+            assert got == ids_by_file, src
+
+    def test_empty_glob_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            pbf_blob_frames(spark, str(tmp_path / "nothing*.osm.pbf"))
