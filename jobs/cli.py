@@ -80,7 +80,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("verb", choices=VERBS)
     ap.add_argument("--pages", help="pages table path (binary payload column)")
-    ap.add_argument("--pbf", help="standalone .osm.pbf file (distributed byte-range read)")
+    ap.add_argument("--pbf", help="standalone .osm.pbf file or glob of region "
+                                  "extracts (distributed byte-range read)")
     ap.add_argument("--out", required=True, help="output root")
     ap.add_argument("--zoom", type=int, default=6, help="spatial store tile zoom")
     ap.add_argument("--top-k", type=int, default=400, help="tags-stat top-k")
