@@ -191,7 +191,7 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs without max_doc_freq generates O(df^2) "
             "candidate pairs per stop-shingle; set max_doc_freq or use "
             "ngram_jaccard_lsh_pairs on large/templated corpora",
-            ResourceWarning,
+            UserWarning,  # visible by default (ResourceWarning is filtered)
             stacklevel=2,
         )
     sh = df.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh"))

@@ -208,10 +208,14 @@ def _encode_ways_np(ids, wtypes, cnts, wn_ids, wn_lats, wn_lons, tag_blobs) -> b
     nstarts = np.zeros(nways, dtype=np.int64)
     np.cumsum(cnts[:-1], out=nstarts[1:])
 
+    # Reset indices only for non-empty ways: an empty way's nstart aliases the
+    # NEXT way's first node (benign mid-chain, IndexError when trailing).
+    reset_idx = nstarts[cnts > 0]
+
     def chain(a):
         d = a.copy()
         d[1:] -= a[:-1]
-        d[nstarts] = a[nstarts]  # per-way chain reset
+        d[reset_idx] = a[reset_idx]  # per-way chain reset
         return zigzag_encode(d)
 
     vals = np.empty(3 * nways + 3 * total_nodes, dtype=np.uint64)
@@ -413,12 +417,16 @@ def spatial_block_blobs(
 
         data = b"".join(parts)
         if out_dir is not None:
-            # executor-side write: overwrite-idempotent under task retry
+            # executor-side write: overwrite-idempotent under task retry.
+            # fsio routes local paths AND object-store URIs (pyarrow fs
+            # clients live in the Python workers -- no driver funnel).
+            from osm_pbf_convert_spark.sources import fsio
+
             path = f"{out_dir}/block_{tile}.dat"
-            with open(path, "wb") as f:
+            with fsio.open_output(path) as f:
                 f.write(data)
-            with open(path + ".sections", "w") as f:
-                f.write(sections)
+            with fsio.open_output(path + ".sections") as f:
+                f.write(sections.encode())
             return pd.DataFrame({
                 "tile": [tile], "n_bytes": [len(data)],
                 "sections": [sections], "path": [path], "data": [None],
@@ -458,17 +466,22 @@ def write_spatial_blocks(
 
     Tiles are self-contained, so files are written FROM THE EXECUTORS
     (the encode task itself) -- no per-file driver funnel; the driver
-    action is a count. For non-file URI schemes (object stores: the
-    Python workers have no Hadoop FS bridge), falls back to streaming
-    the blobs through the driver's Hadoop FileSystem API, which is the
-    shape a real deployment would replace with a cloud-store client on
-    the executors."""
-    import os
+    action is a count. Local paths and every ``fsio``-resolvable URI
+    scheme (``s3://``/``gs://``/``hdfs://``/``abfs://``, plus the
+    hermetic ``mock://`` test scheme) take that executor path via
+    pyarrow-fs clients in the Python workers; only schemes Arrow
+    cannot resolve fall back to streaming the blobs through the
+    driver's JVM Hadoop FileSystem API."""
+    from osm_pbf_convert_spark.sources import fsio
 
-    local = _local_dir(out_dir)
-    if local is not None:
-        os.makedirs(local, exist_ok=True)
-        return spatial_block_blobs(nodes, ways, rels, z, out_dir=local).count()
+    try:
+        fsio.makedirs(out_dir)
+    except Exception:  # scheme only the JVM knows: driver Hadoop bridge
+        pass
+    else:
+        local = _local_dir(out_dir)
+        target = local if local is not None else out_dir
+        return spatial_block_blobs(nodes, ways, rels, z, out_dir=target).count()
 
     df = spatial_block_blobs(nodes, ways, rels, z)
     spark = df.sparkSession

@@ -38,15 +38,17 @@ exactly the ``parse_payload`` wire shape. ``url`` carries
 ``<path>#<offset>`` lineage so every downstream operator (zone maps,
 checkpoint metrics, joins) keeps its per-blob identity column.
 
-Local and ``file://`` paths are read directly by the executor Python
-workers (one ``open``+``seek`` per split, like the other distributed
-readers in ``sources/reference_files.py``); object-store URIs need a
-cloud filesystem client in their place and raise a clear error here.
+All paths go through ``sources.fsio`` (pyarrow's filesystem layer):
+local and ``file://`` read via ``LocalFileSystem``, ``s3://`` /
+``gs://`` / ``hdfs://`` / ``abfs://`` via the matching Arrow-native
+client, each executor task doing its own ranged reads -- the split
+planning is O(files) metadata lookups on the driver, the bytes never
+funnel through it. The ``mock://`` scheme exercises the same generic
+path hermetically in tests (see ``fsio.py``).
 """
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import numpy as np
@@ -60,15 +62,15 @@ MAX_BLOB_BYTES = 32 * 1024 * 1024
 _TYPES = (b"OSMData", b"OSMHeader")
 
 
-def _local_path(path: str) -> str:
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    if "://" in path:
-        raise NotImplementedError(
-            f"pbf_file reads local paths; got URI scheme in {path!r} "
-            "(object stores need a cloud filesystem client on executors)"
-        )
-    return path
+def _open_for_split(path: str):
+    """Seekable input for one scan task: plain ``open`` on local paths
+    (zero extra layers on the hot path), ``fsio`` ranged-read handle on
+    any URI scheme."""
+    from osm_pbf_convert_spark.sources import fsio
+
+    if fsio.is_local(path):
+        return open(fsio.local_path(path), "rb")
+    return fsio.open_seekable(path)
 
 
 def _parse_blob_header(buf: bytes):
@@ -181,9 +183,11 @@ def _walk_split(f, start: int, end: int, file_size: int,
     receives the skipped bytes this split can PROVE are damage (found
     after a decoded frame, or before the first frame at offset 0); a
     LOWER bound, because damage at a split's leading edge is locally
-    indistinguishable from a legitimate mid-frame split start. The
-    exact global measure is ``file_size - sum(n_bytes)`` over the
-    returned frames."""
+    indistinguishable from a legitimate mid-frame split start. It is
+    also DIAGNOSTIC-ONLY: accumulator updates inside a transformation
+    are re-applied on task retry/speculation, so the count can
+    overcount under failures. The exact, retry-safe global measure is
+    ``file_size - sum(n_bytes)`` over the returned frames."""
 
     def read_at(off, n):
         f.seek(off)
@@ -252,20 +256,21 @@ def pbf_blob_frames(
 
     if on_error not in ("raise", "resync"):
         raise ValueError("on_error must be 'raise' or 'resync'")
+    from osm_pbf_convert_spark.sources import fsio
+
     patterns = [path] if isinstance(path, str) else list(path)
     files = []
     for pat in patterns:
-        local = _local_path(pat)
-        matched = sorted(_glob.glob(local)) if _glob.has_magic(local) else [local]
+        matched = fsio.expand_glob(pat)
         if not matched:
             raise FileNotFoundError(f"no files match {pat!r}")
         files.extend(matched)
     bounds = []
-    for local in files:
-        size = os.path.getsize(local)
+    for uri in files:
+        size = fsio.file_size(uri)
         n = max(1, -(-size // split_bytes))
         bounds.extend(
-            (local, i * split_bytes, min((i + 1) * split_bytes, size), size)
+            (uri, i * split_bytes, min((i + 1) * split_bytes, size), size)
             for i in range(n)
         )
     n_splits = len(bounds)
@@ -279,7 +284,7 @@ def pbf_blob_frames(
                 pdf["path"], pdf["start"], pdf["end"], pdf["file_size"]
             ):
                 rows = []
-                with open(p, "rb") as f:
+                with _open_for_split(p) as f:
                     for off, btype, frame in _walk_split(
                         f, int(s), int(e), int(fsize), on_error, bad_bytes
                     ):
@@ -531,8 +536,10 @@ def write_pbf_file(
         num_chunks,
     )
     header_block = field_bytes(4, b"OsmSchema-V0.6") + field_bytes(4, b"DenseNodes")
+    from osm_pbf_convert_spark.sources import fsio
+
     total = 0
-    with open(_local_path(out_path), "wb") as f:
+    with fsio.open_output(out_path) as f:
         hdr = frame_blob(header_block, blob_type="OSMHeader", compress=False)
         f.write(hdr)
         total += len(hdr)

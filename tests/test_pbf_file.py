@@ -397,3 +397,52 @@ class TestMultiFile:
     def test_empty_glob_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             pbf_blob_frames(spark, str(tmp_path / "nothing*.osm.pbf"))
+
+
+@pytest.mark.spark
+class TestRemoteScheme:
+    """The object-store path: the same reader/writer through fsio's
+    hermetic ``mock://`` scheme -- URI parse -> generic pyarrow
+    FileSystem -> ranged reads on executors -- exactly the code path
+    ``s3://``/``gs://`` take (only the fs object differs)."""
+
+    def test_remote_read_equals_local(self, spark, tmp_path):
+        from osm_pbf_convert_spark.sources import fsio
+
+        path, frames, _, _ = _build_file(tmp_path, n_blobs=6)
+        local = {r["offset"]: bytes(r["payload"])
+                 for r in pbf_blob_frames(spark, path, split_bytes=4096).collect()}
+        remote_df = pbf_blob_frames(spark, fsio.mock_uri(path), split_bytes=4096)
+        remote = {r["offset"]: bytes(r["payload"]) for r in remote_df.collect()}
+        assert remote == local and len(remote) == len(frames)
+        # lineage keeps the URI the caller used
+        assert all(r["url"].startswith("mock:///")
+                   for r in remote_df.select("url").collect())
+
+    def test_remote_glob(self, spark, tmp_path):
+        import os
+
+        from osm_pbf_convert_spark.sources import fsio
+
+        expect = set()
+        for i in range(3):
+            p, _, nodes_i, _ = _build_file(tmp_path, n_blobs=2, nodes_per_blob=25,
+                                           seed=300 + i)
+            os.rename(p, str(tmp_path / f"rm{i}.osm.pbf"))
+            expect |= {nid for nid, _, _ in nodes_i}
+        got = read_pbf_nodes(
+            spark, fsio.mock_uri(str(tmp_path)) + "/rm*.osm.pbf", split_bytes=2048
+        )
+        assert {r["id"] for r in got.collect()} == expect
+
+    def test_remote_write_roundtrip(self, spark, tmp_path):
+        from osm_pbf_convert_spark.sources import fsio
+        from osm_pbf_convert_spark.sources.pbf_file import write_pbf_file
+
+        src, _, all_nodes, _ = _build_file(tmp_path, n_blobs=3, nodes_per_blob=40)
+        nodes = read_pbf_nodes(spark, src)
+        out = fsio.mock_uri(str(tmp_path / "re.osm.pbf"))
+        n = write_pbf_file(out, nodes=nodes, entities_per_block=50, granularity=1)
+        assert n > 0 and (tmp_path / "re.osm.pbf").stat().st_size == n
+        back = read_pbf_nodes(spark, out)
+        assert {r["id"] for r in back.collect()} == {i for i, _, _ in all_nodes}

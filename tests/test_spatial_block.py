@@ -136,6 +136,31 @@ class TestPurePython:
             nds, wys, rls = decode_spatial_block_py(blob, sections=sec)
             assert (nds, wys, rls) == (tn, tw, tr), sec
 
+    def test_trailing_empty_way_np_encoder(self):
+        """A 0-node LAST way makes nstarts[-1] == total_nodes; the chain
+        reset must skip empty ways or fancy indexing raises IndexError
+        (ADVICE r4). Golden vs the pure-Python encoder, empty ways in
+        mid and trailing position."""
+        import numpy as np
+
+        from osm_pbf_convert_spark.operators.spatial_block import _encode_ways_np
+
+        ways = [
+            (10, 1, [(100, 7, -7), (103, 9, -2)], []),
+            (12, 2, [], []),          # mid-chain empty
+            (15, 0, [(200, -4, 4)], []),
+            (16, 3, [], []),          # trailing empty -> the IndexError shape
+        ]
+        golden = encode_spatial_block_py([], ways, [])
+        cnts = np.array([len(w[2]) for w in ways], np.int64)
+        flat = [np.array([v[i] for w in ways for v in w[2]], np.int64) for i in range(3)]
+        got = _encode_ways_np(
+            np.array([w[0] for w in ways], np.int64),
+            np.array([w[1] for w in ways], np.int64),
+            cnts, *flat, [b"\x00"] * len(ways),
+        )
+        assert b"\x00" + got == golden  # py writer's leading ways separator
+
     def test_dotnet_string_long_length(self):
         tags = [{"tag_id": None, "key_id": 3, "key": None, "value": "y" * 200}]
         blob = encode_spatial_block_py([(1, 0, 0, tags)], [], [])
@@ -285,3 +310,41 @@ class TestDistributedSink:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
         assert df.count() == 1
+
+
+@pytest.mark.spark
+class TestRemoteSchemeSink:
+    def test_executor_write_to_mock_scheme_is_golden(self, spark, tmp_path):
+        """write_spatial_blocks to a non-local URI scheme must stay
+        executor-side (the encode task writes via fsio; rows come back
+        path-set/data-null) and produce byte-identical files to the
+        local sink."""
+        from osm_pbf_convert_spark.operators.spatial_block import read_spatial_blocks
+        from osm_pbf_convert_spark.sources import fsio
+
+        rng = np.random.default_rng(23)
+        nodes, ways, rels = _synth_entities(rng, 30, 12, 8)
+        tags_t = "array<struct<tag_id:int,key_id:int,key:string,value:string>>"
+        ndf = spark.createDataFrame(nodes, schema=f"id long, ilat int, ilon int, tags {tags_t}")
+        rdf = spark.createDataFrame(
+            rels, schema="id long, position int, rel_type int, role_id int, "
+            f"mid_ilat int, mid_ilon int, item_type int, item_id long, tags {tags_t}")
+
+        local_dir = tmp_path / "loc"
+        remote_dir = tmp_path / "rem"
+        remote_dir.mkdir()
+        n_local = write_spatial_blocks(str(local_dir), nodes=ndf, rels=rdf, z=2)
+        # executor-path proof: the blobs rows carry path (written) not data
+        blobs = spatial_block_blobs(
+            nodes=ndf, rels=rdf, z=2, out_dir=fsio.mock_uri(str(remote_dir))
+        ).collect()
+        assert all(r["path"].startswith("mock:///") and r["data"] is None for r in blobs)
+        assert len(blobs) == n_local
+        for f in local_dir.iterdir():
+            assert (remote_dir / f.name).read_bytes() == f.read_bytes()
+
+        n_remote = write_spatial_blocks(
+            fsio.mock_uri(str(tmp_path / "rem2")), nodes=ndf, rels=rdf, z=2)
+        assert n_remote == n_local
+        back = read_spatial_blocks(spark, str(tmp_path / "rem2"))
+        assert {r["id"] for r in back.filter("kind = 0").collect()} == {i for i, *_ in nodes}
