@@ -89,11 +89,11 @@ def main():
     ap.add_argument("--heat-cols", type=int, default=32768, help="heat grid cols (reference dims)")
     ap.add_argument("--heat-band-rows", type=int, default=512, help="rows per encoded band")
     ap.add_argument("--dat", action="store_true",
-                    help="nodes-index / ways-file / merge-rel / spatial: "
-                         "additionally emit the reference's byte files "
-                         "(NodesIndex / WaysDataFile / RelationsProcessor / "
-                         "SpatialBlock parity artifacts; the Parquet stores "
-                         "stay the query path)")
+                    help="blob-index / nodes-index / ways-file / merge-rel / "
+                         "spatial: additionally emit the reference's byte "
+                         "files (BlobIdsInfo / NodesIndex / WaysDataFile / "
+                         "RelationsProcessor / SpatialBlock parity artifacts; "
+                         "the Parquet stores stay the query path)")
     args = ap.parse_args()
     if bool(args.pages) == bool(args.pbf):
         ap.error("exactly one of --pages / --pbf is required")
@@ -108,6 +108,44 @@ def main():
             F.min("id").alias("min_id"), F.max("id").alias("max_id"),
             F.count(F.lit(1)).alias("cnt"),
         ).write.mode("overwrite").parquet(f"{out}/blobs")
+        if args.dat:
+            # the reference's .blobs.dat byte form (BlobIdsInfo.cs:35-51):
+            # per-blob node/way/rel counts; node-less blobs keep the C#
+            # long.MaxValue/MinValue accumulator sentinels
+            from osm_pbf_convert_spark.operators.blob_index_store import write_blobs_dat
+            from osm_pbf_convert_spark.sources.pbf import decode_relations
+
+            pay, col = _payloads(spark, args)
+            urls = pay.select("url").distinct()
+            if args.pbf:  # url = <path>#<offset>: the true blob offset
+                pos = F.element_at(F.split("url", "#"), -1).cast("long")
+            else:  # pages have no byte offset; rank is the stable analog
+                from pyspark.sql import Window
+
+                pos = F.row_number().over(Window.orderBy("url")).cast("long") - 1
+            counts = [
+                fn(spark, args).groupBy("url").agg(F.count(F.lit(1)).alias(alias))
+                for fn, alias in ((_nodes, "nc"), (_ways, "wc"))
+            ]
+            rc = decode_relations(pay, payload_col=col, on_error="skip") \
+                .groupBy("url").agg(F.count(F.lit(1)).alias("rc"))
+            ids = _nodes(spark, args).groupBy("url").agg(
+                F.min("id").alias("mn"), F.max("id").alias("mx"))
+            info = urls.select("url", pos.alias("start_position"))
+            for d in (*counts, rc, ids):
+                # one row per blob on BOTH sides, but blob count scales
+                # with corpus size (file_size/16MB): merge, not broadcast
+                info = info.join(d.hint("merge"), "url", "left")
+            info = info.select(
+                "start_position",
+                F.coalesce("nc", F.lit(0)).alias("nodes_count"),
+                F.coalesce("mn", F.lit((1 << 63) - 1)).alias("min_node_id"),
+                F.coalesce("mx", F.lit(-(1 << 63))).alias("max_node_id"),
+                F.coalesce("wc", F.lit(0)).alias("ways_count"),
+                F.coalesce("rc", F.lit(0)).alias("rels_count"),
+            )
+            nb = write_blobs_dat(info, f"{out}/blobs.dat")
+            print(f"wrote {nb} blobs.dat bytes")
 
     elif args.verb == "nodes-index":
         # clustered node store (NodesIndex.cs:107-146): bucketed + sorted on
