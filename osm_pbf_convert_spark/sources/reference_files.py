@@ -245,8 +245,82 @@ def _parse_rels_strings(data: bytes) -> list:
     return roles
 
 
+def _skim_rels_boundaries(path: str, file_size: int, window_bytes: int):
+    """Driver boundary skim for the sync-point-free ``.rels`` format in
+    FIXED-SIZE windows: peak driver memory is O(window + one entry per
+    record), not O(file) -- a multi-GB rels file skims in ~window_bytes
+    of buffer. Chain state (the running rel-id delta sum and any bytes
+    of an incomplete trailing record or varint) carries across windows.
+
+    Returns (record byte starts, record id seeds) as int lists.
+
+    Record shape (hop walk): [dId, typeId, zz(minLat), zz(minLon),
+    latSize, lonSize, cnt, cnt x 5 member values], all MSB varints.
+    """
+    from osm_pbf_convert_spark.sources import fsio
+
+    rec_starts: list[int] = []
+    rec_ids: list[int] = []
+    last_id = 0
+    buf = b""  # carried bytes: start of an incomplete record / varint
+    base = 0  # absolute file offset of buf[0]
+    read_pos = 0
+    with fsio.open_seekable(path) as f:
+        while read_pos < file_size or buf:
+            if read_pos < file_size:
+                f.seek(read_pos)
+                chunk = f.read(min(window_bytes, file_size - read_pos))
+                read_pos += len(chunk)
+                buf += chunk
+            at_eof = read_pos >= file_size
+            b8 = np.frombuffer(buf, dtype=np.uint8)
+            ends = np.nonzero(b8 < 0x80)[0]
+            if ends.size == 0:  # not one complete varint in the buffer
+                if at_eof:
+                    raise ValueError("corrupt .rels stream (trailing varints)")
+                continue
+            prefix = int(ends[-1]) + 1  # bytes forming complete varints
+            vals = decode_varints_msb(b8[:prefix])
+            vstarts = np.empty(ends.size, dtype=np.int64)
+            vstarts[0] = 0
+            vstarts[1:] = ends[:-1] + 1
+            n_vals = vals.size
+            p = 0
+            while p < n_vals:
+                if p + 7 > n_vals:
+                    break  # header incomplete in this window
+                nxt = p + 7 + 5 * int(vals[p + 6])
+                if nxt > n_vals:
+                    break  # member values incomplete in this window
+                last_id += int(vals[p])
+                rec_starts.append(base + int(vstarts[p]))
+                rec_ids.append(last_id)
+                p = nxt
+            if p == n_vals:
+                if prefix == len(buf):
+                    base += prefix
+                    buf = b""
+                elif at_eof:  # partial varint at EOF
+                    raise ValueError("corrupt .rels stream (trailing varints)")
+                else:
+                    base += prefix
+                    buf = buf[prefix:]
+            else:  # incomplete record: carry from its first byte
+                if at_eof:
+                    raise ValueError(
+                        "corrupt .rels stream (truncated header)"
+                        if p + 7 > n_vals
+                        else "corrupt .rels stream (trailing varints)"
+                    )
+                cut = int(vstarts[p])
+                base += cut
+                buf = buf[cut:]
+    return rec_starts, rec_ids
+
+
 def read_rels_file(
-    spark: SparkSession, path: str, rels_per_split: int = 8192
+    spark: SparkSession, path: str, rels_per_split: int = 8192,
+    skim_window_bytes: int = 8 << 20,
 ) -> DataFrame:
     """``path`` (+ ``path + '.strs'``) -> DataFrame(rel_id, min_ilat,
     min_ilon, max_ilat, max_ilon, members array<struct<member_type, ref,
@@ -258,41 +332,25 @@ def read_rels_file(
     INT_MIN, INT_MIN) and member mids keep the reference's sentinels
     (int.MinValue for missing/way members, 0 for relation members) --
     the writer cannot distinguish them from real coordinates either.
+
+    The format has no sync points, so a driver skim recovers record
+    boundaries/id seeds before executors decode reseeded byte ranges;
+    the skim streams in ``skim_window_bytes`` windows (bounded driver
+    memory on multi-GB files). IO goes through ``fsio``: local paths
+    and object-store URIs both work.
     """
-    with open(path, "rb") as f:
-        dat = f.read()
-    with open(path + ".strs", "rb") as f:
+    from osm_pbf_convert_spark.sources import fsio
+
+    with fsio.open_seekable(path + ".strs") as f:
         roles = _parse_rels_strings(f.read())
 
-    b = np.frombuffer(dat, dtype=np.uint8)
+    file_size = fsio.file_size(path)
+    rec_starts, rec_ids = _skim_rels_boundaries(path, file_size, skim_window_bytes)
     splits = []  # (byte_start, byte_end, first_id, n_rels)
-    if b.size:
-        ends = np.nonzero(b < 0x80)[0]
-        vstarts = np.empty(ends.size, dtype=np.int64)
-        vstarts[0] = 0
-        vstarts[1:] = ends[:-1] + 1
-        vals = decode_varints_msb(b)
-        # hop walk: record r = [dId, typeId, zz(minLat), zz(minLon),
-        # latSize, lonSize, cnt, cnt x 5 member values]
-        p = 0
-        n_vals = vals.size
-        rec_vidx = []
-        rec_ids = []
-        last = 0
-        while p < n_vals:
-            rec_vidx.append(p)
-            last += int(vals[p])
-            rec_ids.append(last)
-            if p + 6 >= n_vals:
-                raise ValueError("corrupt .rels stream (truncated header)")
-            p += 7 + 5 * int(vals[p + 6])
-        if p != n_vals:
-            raise ValueError("corrupt .rels stream (trailing varints)")
-        for i in range(0, len(rec_vidx), rels_per_split):
-            j = min(i + rels_per_split, len(rec_vidx))
-            bs = int(vstarts[rec_vidx[i]])
-            be = int(vstarts[rec_vidx[j]]) if j < len(rec_vidx) else len(dat)
-            splits.append((bs, be, rec_ids[i], j - i))
+    for i in range(0, len(rec_starts), rels_per_split):
+        j = min(i + rels_per_split, len(rec_starts))
+        be = rec_starts[j] if j < len(rec_starts) else file_size
+        splits.append((rec_starts[i], be, rec_ids[i], j - i))
     if not splits:
         return spark.createDataFrame(
             [], schema="rel_id long, min_ilat long, min_ilon long, "
@@ -311,7 +369,9 @@ def read_rels_file(
             for start, end, first_id, n_rels in zip(
                 pdf["start"], pdf["end"], pdf["first_id"], pdf["n_rels"]
             ):
-                with open(path, "rb") as f:
+                from osm_pbf_convert_spark.sources import fsio
+
+                with fsio.open_seekable(path) as f:
                     f.seek(int(start))
                     vals = decode_varints_msb(f.read(int(end) - int(start)))
                 n_rels = int(n_rels)

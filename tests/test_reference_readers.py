@@ -126,3 +126,44 @@ class TestRelsFileReader:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         assert df.count() == 120
+
+
+@pytest.mark.spark
+class TestRelsSkimWindows:
+    def test_chunked_skim_equals_whole_file(self, spark, tmp_path):
+        """The bounded-memory driver skim must find identical record
+        boundaries/id seeds at ANY window size -- forced tiny windows
+        (64 B: smaller than most records, so every carry path runs)
+        against an effectively-whole-file window."""
+        from osm_pbf_convert_spark.operators.rel_store import write_rels_file
+        from osm_pbf_convert_spark.sources import fsio
+        from osm_pbf_convert_spark.sources.reference_files import (
+            _skim_rels_boundaries,
+            read_rels_file,
+        )
+        from tests.test_rel_store import TestDistributedSink, _synth_rels
+
+        rels = _synth_rels(250, seed=77)
+        out = str(tmp_path / "win.rels")
+        write_rels_file(TestDistributedSink._mk_df(spark, rels), out, num_chunks=2)
+        size = fsio.file_size(out)
+        whole = _skim_rels_boundaries(out, size, 10**9)
+        for win in (64, 257, 4096):
+            assert _skim_rels_boundaries(out, size, win) == whole, win
+        # and the full reader stays correct with a forced-small window
+        back = read_rels_file(spark, out, rels_per_split=40, skim_window_bytes=64)
+        assert {r["rel_id"] for r in back.collect()} == {rid for rid, _, _ in rels}
+
+    def test_corrupt_streams_fail_loud_chunked(self, tmp_path):
+        from osm_pbf_convert_spark.sources.reference_files import _skim_rels_boundaries
+
+        # truncated header: one varint only
+        p1 = tmp_path / "t1.rels"
+        p1.write_bytes(b"\x05\x03")
+        with pytest.raises(ValueError, match="truncated header"):
+            _skim_rels_boundaries(str(p1), 2, 64)
+        # partial varint tail at EOF (continuation bit set, no end)
+        p2 = tmp_path / "t2.rels"
+        p2.write_bytes(b"\xff\xff")
+        with pytest.raises(ValueError, match="trailing varints"):
+            _skim_rels_boundaries(str(p2), 2, 64)
