@@ -113,14 +113,26 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-    hash_fn: str = "xxhash64",
+    hash_fn: str = "xxhash64", max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
 
     rows_per_band = num_hashes // bands; two docs collide in a band iff all
     its rows agree -> P(collide) = s^rows per band (s = true Jaccard).
     hash_fn as in minhash_signatures ("md5" = the DuckDB-replayable oracle
-    variant; band buckets become the joined hex strings)."""
+    variant; band buckets become the joined hex strings).
+
+    ``max_bucket_size`` is the LSH-at-scale guard: band buckets holding
+    more than this many docs are EXCLUDED from the self-join. Oversized
+    buckets are boilerplate-band collisions (shared template shingles)
+    whose pair count grows quadratically with corpus size while real
+    near-dup groups stay small -- measured at 64x bench volume, 450
+    buckets >64 docs carried ~1/3 of all raw candidate slots and drove
+    superlinear shuffle/spill. Recall cost: only pairs colliding in NO
+    small bucket are lost; each true pair has ``bands`` independent
+    chances (verified zero loss on the rehearsal corpus -- see
+    BENCH/NOTES.md). None (default) keeps exact banding semantics --
+    callers at corpus scale should set it deliberately, not silently."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -148,6 +160,17 @@ def minhash_lsh_pairs(
             ]
         )
     banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    if max_bucket_size is not None:
+        # window count shuffles by (band, bucket) -- the SAME key the
+        # self-join below uses, so the exchange is reused, not added
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     # merge hint: both sides are the corpus-sized banded table -- the
@@ -226,6 +249,7 @@ def ngram_jaccard_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.8,
     num_hashes: int = 64, bands: int = 16, hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None, verify_on_hashes: bool = False,
 ) -> DataFrame:
     """Scale path for n-gram Jaccard: MinHash-LSH candidate generation +
     EXACT Jaccard verify on the candidates.
@@ -236,9 +260,31 @@ def ngram_jaccard_lsh_pairs(
     1-(1-s^r)^b driven by the PAIR's similarity s, independent of shingle
     document frequency; surviving jaccard values are exact (computed on the
     full shingle sets), so only recall is probabilistic. This is the shape
-    that holds at 100 TB: candidates scale with true duplicates."""
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
-    sh = df.select(F.col(id_col), shingles_col(F.col(text_col), shingle_k).alias("shs"))
+    that holds at 100 TB: candidates scale with true duplicates.
+
+    ``max_bucket_size`` (see minhash_lsh_pairs) additionally guards the
+    band join against boilerplate buckets, whose pair count -- and the
+    shingle-array bytes the verify join ships per pair -- otherwise
+    grows quadratically with corpus size (measured 9x wall at 4x volume
+    without it; the exact-verify stage keeps precision unchanged, the
+    cap affects recall only through pairs with no small-bucket
+    collision).
+
+    ``verify_on_hashes`` intersects 64-bit xxhash64 shingle hashes
+    instead of shingle strings: the verify join must carry one shingle
+    array per CANDIDATE through its second merge-join sort, so array
+    bytes -- not pair count -- dominate its shuffle/spill at scale;
+    long arrays halve them (measured at 64x volume). Jaccard stays
+    exact up to within-doc hash collisions (~|S|^2 / 2^64 -- odds of
+    one affected doc per ~10^9 docs), so this is the 100 TB recipe
+    alongside ``max_bucket_size``; default False preserves bit-exact
+    string-set semantics (the oracled flavor)."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k,
+                              hash_fn, max_bucket_size)
+    shs_expr = shingles_col(F.col(text_col), shingle_k)
+    if verify_on_hashes:
+        shs_expr = F.transform(shs_expr, lambda x: F.xxhash64(x))
+    sh = df.select(F.col(id_col), shs_expr.alias("shs"))
     # merge hints: the shingle-ARRAY side is corpus-sized; its columnar
     # scan estimate undershoots the exploded row format by ~100x, so the
     # auto-broadcast threshold would hash-build it on every executor

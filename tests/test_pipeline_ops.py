@@ -130,6 +130,68 @@ class TestDedup:
         assert set(l) == set(e)  # same pairs
         assert l == e  # identical exact jaccard values
 
+    def test_bucket_cap_noop_when_large(self, docs_df):
+        """max_bucket_size above every bucket's size must change nothing."""
+        df, _ = docs_df
+        base = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_k=4).toPandas()
+        capped = dedup.minhash_lsh_pairs(
+            df, num_hashes=32, bands=16, shingle_k=4, max_bucket_size=10_000
+        ).toPandas()
+        key = lambda p: sorted(map(tuple, p[["a", "b"]].itertuples(index=False)))
+        assert key(capped) == key(base)
+
+    def test_bucket_cap_drops_boilerplate_bucket_keeps_real_pair(self, spark):
+        """A planted boilerplate cluster (many identical docs -> one
+        oversized bucket in EVERY band) is excluded by the cap, while a
+        distinct near-dup pair in its own small buckets survives -- the
+        LSH-at-scale guard semantics (found superlinear at the 64x
+        rehearsal, zero verified-pair loss with the cap there)."""
+        template = "identical boilerplate navigation header footer text " * 3
+        rows = [(i, template) for i in range(40)]  # one 40-doc bucket per band
+        rows += [(100, "a genuinely distinctive document about owls and rivers flowing"),
+                 (101, "a genuinely distinctive document about owls and rivers flowing!")]
+        df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+        capped = dedup.minhash_lsh_pairs(
+            df, num_hashes=32, bands=8, shingle_k=4, max_bucket_size=8
+        ).toPandas()
+        got = {tuple(r) for r in capped[["a", "b"]].itertuples(index=False)}
+        assert (100, 101) in got  # the real pair survives
+        assert not any(a < 40 and b < 40 for a, b in got)  # boilerplate capped
+        # and the verify stage composes: ngram LSH with the cap still
+        # returns the real pair with its exact jaccard
+        v = dedup.ngram_jaccard_lsh_pairs(
+            df, shingle_k=4, threshold=0.5, num_hashes=32, bands=8, max_bucket_size=8
+        ).toPandas()
+        vg = {tuple(r) for r in v[["a", "b"]].itertuples(index=False)}
+        assert (100, 101) in vg
+        assert not any(a < 40 and b < 40 for a, b in vg)
+
+    def test_bucket_cap_plan_adds_no_join(self, docs_df):
+        """The cap is a window count over the SAME (band, bucket) key the
+        self-join shuffles on -- it must not introduce a broadcast join
+        or cartesian."""
+        df, _ = docs_df
+        plan = dedup.minhash_lsh_pairs(
+            df, num_hashes=32, bands=16, shingle_k=4, max_bucket_size=64
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" not in plan
+
+    def test_verify_on_hashes_parity(self, spark):
+        """The 64-bit-hash verify flavor returns identical pairs AND
+        identical exact jaccard values to the string-set verify (hash
+        collisions are ~|S|^2/2^64; none at test scale)."""
+        base = "the quick brown fox jumps over the lazy sleeping dog tonight "
+        rows = [(i, base + f"variant {i} tail {i}") for i in range(15)]
+        rows += [(100, base * 3), (101, base * 3 + "x")]
+        df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+        kw = dict(shingle_k=5, threshold=0.6, num_hashes=32, bands=16)
+        a = dedup.ngram_jaccard_lsh_pairs(df, **kw).toPandas()
+        b = dedup.ngram_jaccard_lsh_pairs(df, verify_on_hashes=True, **kw).toPandas()
+        key = lambda p: sorted(
+            (r["a"], r["b"], round(r["jaccard"], 9)) for _, r in p.iterrows())
+        assert key(a) == key(b) and len(a) > 0
+
     def test_simhash_groups(self, docs_df):
         df, _ = docs_df
         groups = dedup.simhash_dedup_groups(df).toPandas()

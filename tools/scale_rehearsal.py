@@ -154,11 +154,14 @@ def main():
                     help="with --assert: check the plan gates WITHOUT "
                          "executing (plain local session, seconds not "
                          "minutes -- the per-round regression gate)")
-    # calibrated ~1.5x the known-good join_ways_nodes disk spill at x16
-    # (626 MB in rounds 3+4, judged bounded; spill scales with shuffle
-    # volume per partition, so re-calibrate when changing --replicate)
-    ap.add_argument("--max-disk-spill-mb", type=float, default=1024.0)
+    # volume-relative: spill scales with shuffle bytes per partition, so
+    # the cap scales with --replicate. 64 MB/x == the round-3/4 manual
+    # calibration (1024 MB at x16 = ~1.5x the known-good join_ways_nodes
+    # disk spill of 626 MB); an explicit value overrides.
+    ap.add_argument("--max-disk-spill-mb", type=float, default=None)
     args = ap.parse_args()
+    if args.max_disk_spill_mb is None:
+        args.max_disk_spill_mb = 64.0 * args.replicate
 
     from osm_pbf_convert_spark.session import get_spark
     from osm_pbf_convert_spark.sources.pages import synth_pages
@@ -180,7 +183,8 @@ def main():
             ("minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5)),
             ("simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8)),
             ("ngram_jaccard_lsh", dedup.ngram_jaccard_lsh_pairs(
-                docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16)),
+                docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
+                max_bucket_size=64, verify_on_hashes=True)),
         ]:
             results[name] = _plan_flags(df)
             print(f"{name}: {results[name]}", flush=True)
@@ -248,9 +252,16 @@ def main():
     measured(spark, "exact_dedup", dedup.exact_dedup(docs), results)
     measured(spark, "minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5), results)
     measured(spark, "simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8), results)
+    # max_bucket_size=64: the LSH-at-scale guard (boilerplate band
+    # buckets grow pair counts quadratically with corpus size; measured
+    # 9x wall at 4x volume without it, and ZERO verified pairs lost
+    # with it at 64x -- see BENCH/NOTES.md). NOT a silent cap: the
+    # parameter is part of the recorded scale recipe.
+    print("ngram_jaccard_lsh: max_bucket_size=64 + verify_on_hashes (scale recipe)", flush=True)
     measured(
         spark, "ngram_jaccard_lsh",
-        dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16),
+        dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
+                                      max_bucket_size=64, verify_on_hashes=True),
         results,
     )
 
@@ -263,7 +274,7 @@ def main():
         print("scale gates PASS (executed)")
 
     out = {
-        "metric": "10x scale rehearsal (e2e stages + dedup family), executor mode",
+        "metric": f"{args.replicate}x scale rehearsal (e2e stages + dedup family), executor mode",
         "sf_dir": args.sf_dir,
         "replicate": args.replicate,
         "executors": args.executors,
@@ -278,7 +289,7 @@ def main():
     if not args.no_append:
         lines = [
             "",
-            f"## 10x scale rehearsal: sf0.1 x{args.replicate}, "
+            f"## {args.replicate}x scale rehearsal: sf0.1 x{args.replicate}, "
             f"{args.executors} executor JVMs",
             "",
             f"Input: {n_docs:,} pages / {n_nodes:,} nodes decoded; dedup corpus "
