@@ -1127,6 +1127,20 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_lsh_bucket_cap(spark, sf_dir):
+    """The LSH-at-scale bucket-cap guard under the FULL oracle: band
+    buckets holding more than ``max_bucket_size`` docs are excluded from
+    candidate generation (boilerplate band signatures grow pair counts
+    quadratically with corpus size -- found by the 64x rehearsal gate,
+    see dedup.minhash_lsh_pairs). cap=2 BITES at this corpus (buckets of
+    3-4 docs exist), so the row proves the guard's exclusion semantics
+    against DuckDB's window replay, not just its plumbing."""
+    return dedup.ngram_jaccard_lsh_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6,
+        num_hashes=64, bands=16, hash_fn="md5", max_bucket_size=2,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # Exact replay of ngram_jaccard_pairs: distinct 6-gram shingles of the
 # lowered text, stop-shingle guard on candidate generation only (sizes
 # count every shingle), inverted-index self-join, jaccard threshold.
@@ -1163,6 +1177,44 @@ WITH {_minhash_banded_cte(64, 16, 6)},
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+shs AS (
+  SELECT doc_id,
+         list_distinct(
+           [substr(lower(text), i, 6) FOR i IN generate_series(1, greatest(length(text) - 5, 0))]
+         ) AS s
+  FROM documents
+),
+scored AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.s, sb.s)) AS common,
+         len(sa.s) AS za, len(sb.s) AS zb
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.a
+  JOIN shs sb ON sb.doc_id = c.b
+)
+SELECT a, b, ROUND(common / (za + zb - common), 6) AS jaccard
+FROM scored
+WHERE common / (za + zb - common) >= 0.6
+"""
+
+
+# The bucket-cap variant: identical banding + verify, with band buckets
+# larger than the cap excluded via a window count -- the exact replay of
+# minhash_lsh_pairs(max_bucket_size=2).
+_Q_NGRAM_LSH_CAP_ORACLE = f"""
+WITH {_minhash_banded_cte(64, 16, 6)},
+kept AS (
+  SELECT band, bucket, doc_id FROM (
+    SELECT band, bucket, doc_id,
+           COUNT(*) OVER (PARTITION BY band, bucket) AS _sz
+    FROM banded
+  ) WHERE _sz <= 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y USING (band, bucket)
   WHERE x.doc_id < y.doc_id
 ),
 shs AS (
@@ -1655,6 +1707,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ivf_topk": q_ivf_topk,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+    "ngram_lsh_bucket_cap": q_ngram_lsh_bucket_cap,
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1708,6 +1761,7 @@ ORACLES = {
     "simhash_groups": _Q_SIMHASH_GROUPS_ORACLE,
     "simhash_hamming_pairs": _Q_SIMHASH_HAMMING_ORACLE,
     "ngram_jaccard_lsh": _Q_NGRAM_LSH_ORACLE,
+    "ngram_lsh_bucket_cap": _Q_NGRAM_LSH_CAP_ORACLE,
     "embedding_neardup": _embedding_neardup_oracle(),
     "multimodal_features": _multimodal_oracle(),
 }

@@ -22,9 +22,10 @@ into DataFrames, parallelized by the formats' OWN index structures.
   record run plus its seed id is self-contained). The skim builds
   indexes only; all row materialization happens on executors.
 
-Byte ranges are fetched per task with plain ``open`` -- local/NFS paths
-(the formats are single-node artifacts; object-store reads would go
-through fsspec). Roundtrip-tested against the engine's own sinks and the
+Byte ranges are fetched per task through ``sources.fsio`` (pyarrow
+filesystems): local paths and object-store URIs (``s3://``, ``gs://``,
+``hdfs://``, ...) behave identically, each executor doing its own
+ranged reads. Roundtrip-tested against the engine's own sinks and the
 pure-Python writer ports.
 """
 
@@ -70,13 +71,14 @@ def read_nodes_index(
 ) -> DataFrame:
     """``{prefix}.nodes.dat`` + ``{prefix}.idx`` -> DataFrame(id, ilat,
     ilon). One task per index sync range; each range decodes with fresh
-    delta state, exactly mirroring the writer's block resets."""
-    import os
+    delta state, exactly mirroring the writer's block resets. IO via
+    ``fsio`` -- object-store URIs work."""
+    from osm_pbf_convert_spark.sources import fsio
 
     dat_path = f"{prefix}.nodes.dat"
-    with open(f"{prefix}.idx", "rb") as f:
+    with fsio.open_seekable(f"{prefix}.idx") as f:
         starts, _ = _parse_nodes_idx(f.read(), block_size)
-    size = os.path.getsize(dat_path)
+    size = fsio.file_size(dat_path)
     bounds = [0] + [s for s in starts if s < size] + [size]
     ranges = [
         (bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
@@ -89,7 +91,9 @@ def read_nodes_index(
 
         for pdf in batches:
             for start, end in zip(pdf["start"], pdf["end"]):
-                with open(dat_path, "rb") as f:
+                from osm_pbf_convert_spark.sources import fsio
+
+                with fsio.open_seekable(dat_path) as f:
                     f.seek(int(start))
                     buf = f.read(int(end) - int(start))
                 vals = decode_varints_msb(buf)
@@ -140,12 +144,12 @@ def read_ways_file(
     id,ilat,ilon>>). The info file supplies absolute (id, offset) per
     way, so splits are arbitrary runs of ways: each task decodes its
     byte range and re-seeds the id chain from the split's first info
-    id."""
-    import os
+    id. IO via ``fsio`` -- object-store URIs work."""
+    from osm_pbf_convert_spark.sources import fsio
 
-    with open(path + ".idx", "rb") as f:
+    with fsio.open_seekable(path + ".idx") as f:
         ids, offs = _parse_ways_info(f.read())
-    size = os.path.getsize(path)
+    size = fsio.file_size(path)
     splits = []
     for i in range(0, len(ids), ways_per_split):
         j = min(i + ways_per_split, len(ids))
@@ -163,7 +167,9 @@ def read_ways_file(
             for start, end, first_id, n_ways in zip(
                 pdf["start"], pdf["end"], pdf["first_id"], pdf["n_ways"]
             ):
-                with open(path, "rb") as f:
+                from osm_pbf_convert_spark.sources import fsio
+
+                with fsio.open_seekable(path) as f:
                     f.seek(int(start))
                     buf = f.read(int(end) - int(start))
                 vals = decode_varints_msb(buf)

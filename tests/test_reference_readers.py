@@ -167,3 +167,37 @@ class TestRelsSkimWindows:
         p2.write_bytes(b"\xff\xff")
         with pytest.raises(ValueError, match="trailing varints"):
             _skim_rels_boundaries(str(p2), 2, 64)
+
+
+@pytest.mark.spark
+class TestRemoteSchemeReaders:
+    def test_nodes_index_reads_via_mock_scheme(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.node_store import write_nodes_index_file
+        from osm_pbf_convert_spark.sources import fsio
+        from osm_pbf_convert_spark.sources.reference_files import read_nodes_index
+
+        rng = np.random.default_rng(13)
+        ids = np.cumsum(rng.integers(1, 1 << 16, size=400)) + 7
+        df = spark.createDataFrame(
+            [(int(i), int(rng.integers(-(2**31), 2**31 - 1)),
+              int(rng.integers(-(2**31), 2**31 - 1))) for i in ids],
+            schema="id long, ilat long, ilon long")
+        prefix = str(tmp_path / "rn")
+        write_nodes_index_file(df, prefix)
+        local = {(r["id"], r["ilat"], r["ilon"])
+                 for r in read_nodes_index(spark, prefix).collect()}
+        remote = {(r["id"], r["ilat"], r["ilon"])
+                  for r in read_nodes_index(spark, fsio.mock_uri(prefix)).collect()}
+        assert remote == local and len(remote) == 400
+
+    def test_rels_reads_via_mock_scheme(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.rel_store import write_rels_file
+        from osm_pbf_convert_spark.sources import fsio
+        from osm_pbf_convert_spark.sources.reference_files import read_rels_file
+        from tests.test_rel_store import TestDistributedSink, _synth_rels
+
+        rels = _synth_rels(80, seed=55)
+        out = str(tmp_path / "remote.rels")
+        write_rels_file(TestDistributedSink._mk_df(spark, rels), out)
+        back = read_rels_file(spark, fsio.mock_uri(out), rels_per_split=25)
+        assert {r["rel_id"] for r in back.collect()} == {rid for rid, _, _ in rels}

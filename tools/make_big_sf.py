@@ -79,8 +79,8 @@ def main():
             FROM {src('embeddings')} {rep}) TO {dst('embeddings')} (FORMAT PARQUET)"""
     )
     con.sql(
-        f"""COPY (SELECT event_id + r * 1000000000 AS event_id, ts,
-                user_id + r * 10000000 AS user_id, event_type, value, props
+        f"""COPY (SELECT event_id + r * 1000000 AS event_id, ts,
+                user_id + r * 100000 AS user_id, event_type, value, props
             FROM {src('events')} {rep}) TO {dst('events')} (FORMAT PARQUET)"""
     )
     for t in DIMS + ["lineitem", "orders", "documents", "embeddings", "events"]:
