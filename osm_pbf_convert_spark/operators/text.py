@@ -2,7 +2,11 @@
 scoring, language-ID heuristic, document fingerprinting.
 
 Everything is built-in ``pyspark.sql.functions`` (JVM, codegen) -- no
-Python in the hot path. These are training-data-pipeline extensions (no
+Python in the hot path, with ONE deliberate exception: the
+``fingerprint(hash_fn="rolling")`` flavor is an Arrow-batched numpy
+rolling hash, taken because round-4 profiling showed the JVM flavors
+spend ~90% of their time materializing substrings (measured win in
+BENCH/NOTES.md). These are training-data-pipeline extensions (no
 reference counterpart).
 """
 
@@ -96,14 +100,21 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                shingle_k: int = 8, bottom_k: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+                shingle_k: int = 8, bottom_k: int = 8, hash_fn: str = "rolling") -> DataFrame:
     """Bottom-k sketch fingerprint: the k smallest shingle hashes combined
-    into one fingerprint. Rolling-hash analog computed as substrings +
-    hash (JVM); equal fingerprints => highly likely near-identical content.
+    into one fingerprint; equal fingerprints => highly likely
+    near-identical content.
 
-    hash_fn: "xxhash64" (production default: fastest JVM hash, fingerprint
-    is a long) or "md5" (fingerprint is a hex string; bit-identical in
-    DuckDB, used by the correctness oracle)."""
+    hash_fn flavors (equality contract identical, values differ by hash
+    family):
+    - "rolling" (production default): Arrow-batched numpy Karp-Rabin --
+      window hashes without substring materialization. 30x faster than
+      the JVM flavors at 50k docs (47.2 s -> 1.56 s median, see
+      BENCH/NOTES.md): round-4 profiling showed ~90% of the JVM cost is
+      `shingles_col` building every k-char substring before hashing.
+    - "xxhash64": substrings + fastest JVM hash, zero Python anywhere.
+    - "md5": hex-string fingerprint, bit-identical in DuckDB -- the
+      correctness-oracle flavor (the catalog query pins it)."""
     from osm_pbf_convert_spark.operators.dedup import shingles_col
 
     sh = shingles_col(F.col(text_col), shingle_k)
@@ -115,6 +126,83 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         hashes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
         bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
         fp = F.md5(F.concat_ws(",", bottom).cast("binary"))
+    elif hash_fn == "rolling":
+        return _fingerprint_rolling(df, id_col, text_col, shingle_k, bottom_k)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return df.withColumn("fingerprint", fp)
+
+
+# Karp-Rabin base/combine constants for the "rolling" flavor (any odd
+# 64-bit multipliers work; these are the classic string-hash primes)
+_KR_BASE = 1000003
+_KR_COMBINE = 1099511628211  # FNV-64 prime
+
+
+def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
+                         shingle_k: int, bottom_k: int) -> DataFrame:
+    """The true ROLLING-hash fingerprint: Arrow batches in, one numpy
+    polynomial pass per batch, zero substring materialization.
+
+    Round-4 profiling pinned ~90% of the JVM flavors' cost on
+    materializing every k-char substring (`shingles_col`) before
+    hashing; this flavor never builds a substring. All of a batch's
+    lower-cased texts are concatenated into ONE uint8 buffer, every
+    k-byte window hash is computed as a Karp-Rabin polynomial with
+    8 vectorized shifted multiply-adds (mod 2^64 by natural uint64
+    wrap), windows crossing document boundaries are masked out, and
+    per-doc bottom-k of the UNIQUE window hashes is combined into one
+    long. Semantics match the JVM flavors (distinct shingles ->
+    bottom-k sketch -> combine); values differ by hash family, exactly
+    like the documented xxhash64-vs-md5 split, so equal-text docs get
+    equal fingerprints and the md5 catalog flavor stays the oracle.
+
+    Byte-level windows over UTF-8 (the JVM flavors window over
+    CHARACTERS) shift k-gram boundaries only on multi-byte text --
+    fingerprint equality, the operator's contract, is unaffected."""
+    import numpy as np
+
+    out_fields = list(df.schema.fields)
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema_str += ", fingerprint long"
+    k = shingle_k
+
+    def batches(it):
+        import pandas as pd
+
+        powers = np.array(
+            [pow(_KR_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+        )
+        comb_pow = np.array(
+            [pow(_KR_COMBINE, bottom_k - 1 - j, 1 << 64) for j in range(bottom_k)],
+            dtype=np.uint64,
+        )
+        for pdf in it:
+            texts = pdf[text_col].fillna("").str.lower()
+            raw = texts.str.encode("utf-8")
+            lens = raw.str.len().to_numpy(np.int64)
+            buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+            n = buf.size
+            fps = np.zeros(len(pdf), dtype=np.uint64)
+            if n >= k:
+                # all window hashes of the concatenated buffer in k
+                # shifted multiply-adds (one pass, no substrings)
+                h = np.zeros(n - k + 1, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for j in range(k):
+                        h += buf[j:n - k + 1 + j].astype(np.uint64) * powers[j]
+                starts = np.zeros(len(pdf) + 1, dtype=np.int64)
+                np.cumsum(lens, out=starts[1:])
+                for i in range(len(pdf)):
+                    lo, hi = starts[i], starts[i + 1] - k + 1
+                    if hi <= lo:
+                        continue  # text shorter than k: fingerprint 0
+                    uniq = np.unique(h[lo:hi])  # distinct shingles
+                    bot = uniq[:bottom_k]
+                    with np.errstate(over="ignore"):
+                        fps[i] = (bot * comb_pow[:bot.size]).sum(dtype=np.uint64)
+            out = pdf.copy()
+            out["fingerprint"] = pd.Series(fps.astype(np.int64), index=pdf.index)
+            yield out
+
+    return df.mapInPandas(batches, schema=schema_str)

@@ -242,6 +242,43 @@ class TestText:
         assert out[1] == out[2]
         assert out[1] != out[7]
 
+    def test_fingerprint_flavors_same_equality_classes(self, docs_df):
+        """rolling / xxhash64 / md5 differ by hash family but must induce
+        the SAME duplicate partition of the corpus (the operator's
+        contract); rolling handles sub-k and empty texts as 0."""
+        from itertools import combinations
+
+        df, rows = docs_df
+        fps = {h: text.fingerprint(df, hash_fn=h).toPandas()
+               .set_index("doc_id")["fingerprint"]
+               for h in ("rolling", "xxhash64", "md5")}
+        ids = [r[0] for r in rows if len(r[1]) >= 8]
+        for a, b in combinations(ids, 2):
+            dup = fps["md5"][a] == fps["md5"][b]
+            assert (fps["rolling"][a] == fps["rolling"][b]) == dup, (a, b)
+            assert (fps["xxhash64"][a] == fps["xxhash64"][b]) == dup, (a, b)
+        assert fps["rolling"][8] == 0  # empty text
+
+    def test_fingerprint_rolling_batch_boundaries(self, spark):
+        """Window hashes are computed over a concatenated batch buffer --
+        windows must never leak across document boundaries: permuting
+        the batch order cannot change any fingerprint."""
+        import hashlib
+
+        # genuinely distinct bodies (a shared prefix with one digit changed
+        # legitimately shares a bottom-k sketch -- that is the operator
+        # working, not a boundary leak)
+        rows = [(i, hashlib.sha256(str(i).encode()).hexdigest() * 3)
+                for i in range(50)]
+        a = text.fingerprint(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            hash_fn="rolling").toPandas().set_index("doc_id")["fingerprint"]
+        b = text.fingerprint(
+            spark.createDataFrame(rows[::-1], "doc_id long, text string"),
+            hash_fn="rolling").toPandas().set_index("doc_id")["fingerprint"]
+        assert a.sort_index().equals(b.sort_index())
+        assert a.nunique() == 50
+
 
 @pytest.mark.spark
 class TestSimilarity:
