@@ -4,11 +4,13 @@ All shapes are shuffle-conscious:
 
 - exact: hash-groupBy on a content digest -- one shuffle, map-side partial
   agg; survivor = min(doc_id) for determinism.
-- MinHash + LSH: shingle -> per-shingle xxhash64 with H seeds -> per-doc
-  min per seed (ONE shuffle: groupBy doc over the exploded shingles with H
-  min() aggregates) -> band keys -> bucket self-join emits candidate pairs
+- MinHash + LSH: signature stage = a zero-shuffle Arrow Karp-Rabin
+  window pass (production default "rolling", operators/rolling.py;
+  JVM flavors: explode -> per-shingle hash -> ONE groupBy with H min()
+  aggregates) -> band keys -> bucket self-join emits candidate pairs
   -> optional exact Jaccard verify. Band/bucket join is equi-join on the
-  band hash: broadcast-free, AQE handles hot buckets.
+  band hash: broadcast-free, AQE handles hot buckets; oversized
+  boilerplate buckets can be capped (max_bucket_size).
 - SimHash: 64-bit signature from token hashes; bit-majority computed with
   64 JVM-side conditional sums -- no Python in the hot path.
 - n-gram Jaccard: candidate pairs from shared shingles (inverted index),
@@ -63,12 +65,15 @@ def minhash_coeffs(i: int) -> tuple[int, int]:
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 64, shingle_k: int = 5, hash_fn: str = "xxhash64",
+    num_hashes: int = 64, shingle_k: int = 5, hash_fn: str = "rolling",
 ) -> DataFrame:
     """(id, sig array[num_hashes]) -- min over shingle hashes per seed.
-    One explode + one groupBy with num_hashes min() aggregates.
+    One explode + one groupBy with num_hashes min() aggregates (JVM
+    flavors), or a zero-shuffle Arrow window-hash pass ("rolling").
 
-    hash_fn: "xxhash64" (production default: fastest JVM hash) or "md5"
+    hash_fn: "rolling" (no-substring Karp-Rabin window hashes + affine
+    mod-2^64 permutation family -- the scale flavor, see
+    ``_minhash_signatures_rolling``), "xxhash64" (JVM default) or "md5"
     (the DuckDB-replayable oracle variant): ONE md5 per shingle supplies
     a 60-bit base hash x (first 15 hex chars), and the seed family is
     Carter-Wegman universal hashing h_i = (a_i*x + b_i) mod (2^31-1) --
@@ -77,6 +82,8 @@ def minhash_signatures(
     Crucially the mins aggregate over LONGS: min(string) has no
     fixed-width agg buffer and silently degrades HashAggregate to
     SortAggregate (measured 3x slower at sf0.1)."""
+    if hash_fn == "rolling":
+        return _minhash_signatures_rolling(df, id_col, text_col, num_hashes, shingle_k)
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
     )
@@ -110,10 +117,74 @@ def minhash_signatures(
     )
 
 
+def _kr_hash_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shs array<long>): each doc's unique Karp-Rabin window
+    hashes (operators/rolling.py) -- the substring-free stand-in for
+    ``shingles_col`` in exact-jaccard verification (set semantics are
+    identical up to ~|S|^2/2^64 within-doc collisions)."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators.rolling import batch_window_hashes
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "shs": [u.astype(np.int64) for u in batch_window_hashes(pdf[text_col], k)],
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, shs array<long>"
+    )
+
+
+def _minhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str,
+                                num_hashes: int, shingle_k: int) -> DataFrame:
+    """The no-substring signature stage (``hash_fn="rolling"``): one
+    Karp-Rabin window pass per Arrow batch (operators/rolling.py)
+    replaces explode + hash-per-shingle + groupBy-min ENTIRELY -- a
+    narrow map with ZERO shuffle, where the JVM flavors shuffle every
+    (doc, shingle) row into the aggregate. sig_i = min over the doc's
+    unique window hashes w of A_i*w + B_i mod 2^64 (odd A_i: a
+    bijection on Z_2^64, a textbook permutation family). Same output
+    shape (id, sig array<long>); docs with no window (shorter than k)
+    emit NO row, matching the JVM flavors where empty-shingle docs
+    vanish at the explode. Measured vs the JVM stage at 50k docs in
+    BENCH/NOTES.md."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators.rolling import affine_family, batch_window_hashes
+
+    A, B = affine_family(num_hashes)
+
+    def batches(it):
+        for pdf in it:
+            ids, sigs = [], []
+            for rid, uniq in zip(
+                pdf[id_col], batch_window_hashes(pdf[text_col], shingle_k)
+            ):
+                if not uniq.size:
+                    continue  # parity with JVM flavors: no shingles -> no row
+                with np.errstate(over="ignore"):
+                    sig = (uniq[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                ids.append(rid)
+                sigs.append(sig.astype(np.int64))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, sig array<long>"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-    hash_fn: str = "xxhash64", max_bucket_size: int | None = None,
+    hash_fn: str = "rolling", max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) sharing >= 1 LSH band.
 
@@ -248,7 +319,7 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_k: int = 5, threshold: float = 0.8,
-    num_hashes: int = 64, bands: int = 16, hash_fn: str = "xxhash64",
+    num_hashes: int = 64, bands: int = 16, hash_fn: str = "rolling",
     max_bucket_size: int | None = None, verify_on_hashes: bool = False,
 ) -> DataFrame:
     """Scale path for n-gram Jaccard: MinHash-LSH candidate generation +
@@ -281,10 +352,15 @@ def ngram_jaccard_lsh_pairs(
     string-set semantics (the oracled flavor)."""
     cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k,
                               hash_fn, max_bucket_size)
-    shs_expr = shingles_col(F.col(text_col), shingle_k)
-    if verify_on_hashes:
-        shs_expr = F.transform(shs_expr, lambda x: F.xxhash64(x))
-    sh = df.select(F.col(id_col), shs_expr.alias("shs"))
+    if verify_on_hashes and hash_fn == "rolling":
+        # the fully substring-free path: verify sets are the SAME
+        # Karp-Rabin window hashes the signatures minimized over
+        sh = _kr_hash_arrays(df, id_col, text_col, shingle_k)
+    else:
+        shs_expr = shingles_col(F.col(text_col), shingle_k)
+        if verify_on_hashes:
+            shs_expr = F.transform(shs_expr, lambda x: F.xxhash64(x))
+        sh = df.select(F.col(id_col), shs_expr.alias("shs"))
     # merge hints: the shingle-ARRAY side is corpus-sized; its columnar
     # scan estimate undershoots the exploded row format by ~100x, so the
     # auto-broadcast threshold would hash-build it on every executor

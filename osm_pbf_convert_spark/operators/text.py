@@ -133,9 +133,8 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.withColumn("fingerprint", fp)
 
 
-# Karp-Rabin base/combine constants for the "rolling" flavor (any odd
-# 64-bit multipliers work; these are the classic string-hash primes)
-_KR_BASE = 1000003
+# bottom-k combine multiplier for the "rolling" flavor (window-hash
+# core lives in operators/rolling.py)
 _KR_COMBINE = 1099511628211  # FNV-64 prime
 
 
@@ -162,6 +161,8 @@ def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
     fingerprint equality, the operator's contract, is unaffected."""
     import numpy as np
 
+    from osm_pbf_convert_spark.operators.rolling import batch_window_hashes
+
     out_fields = list(df.schema.fields)
     schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema_str += ", fingerprint long"
@@ -170,37 +171,18 @@ def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
     def batches(it):
         import pandas as pd
 
-        powers = np.array(
-            [pow(_KR_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
-        )
         comb_pow = np.array(
             [pow(_KR_COMBINE, bottom_k - 1 - j, 1 << 64) for j in range(bottom_k)],
             dtype=np.uint64,
         )
         for pdf in it:
-            texts = pdf[text_col].fillna("").str.lower()
-            raw = texts.str.encode("utf-8")
-            lens = raw.str.len().to_numpy(np.int64)
-            buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
-            n = buf.size
             fps = np.zeros(len(pdf), dtype=np.uint64)
-            if n >= k:
-                # all window hashes of the concatenated buffer in k
-                # shifted multiply-adds (one pass, no substrings)
-                h = np.zeros(n - k + 1, dtype=np.uint64)
+            for i, uniq in enumerate(batch_window_hashes(pdf[text_col], k)):
+                if not uniq.size:
+                    continue  # text shorter than k: fingerprint 0
+                bot = uniq[:bottom_k]
                 with np.errstate(over="ignore"):
-                    for j in range(k):
-                        h += buf[j:n - k + 1 + j].astype(np.uint64) * powers[j]
-                starts = np.zeros(len(pdf) + 1, dtype=np.int64)
-                np.cumsum(lens, out=starts[1:])
-                for i in range(len(pdf)):
-                    lo, hi = starts[i], starts[i + 1] - k + 1
-                    if hi <= lo:
-                        continue  # text shorter than k: fingerprint 0
-                    uniq = np.unique(h[lo:hi])  # distinct shingles
-                    bot = uniq[:bottom_k]
-                    with np.errstate(over="ignore"):
-                        fps[i] = (bot * comb_pow[:bot.size]).sum(dtype=np.uint64)
+                    fps[i] = (bot * comb_pow[:bot.size]).sum(dtype=np.uint64)
             out = pdf.copy()
             out["fingerprint"] = pd.Series(fps.astype(np.int64), index=pdf.index)
             yield out

@@ -991,7 +991,7 @@ SELECT CAST(1 AS BIGINT), 'building', COUNT(DISTINCT l_orderkey) FROM lineitem W
 def q_minhash_pairs(spark, sf_dir):
     # md5 variant: Carter-Wegman family (a_i*x + b_i mod 2^31-1) over a
     # 60-bit md5-prefix base hash -- DuckDB replays it bit-identically;
-    # xxhash64 stays the production default
+    # the rolling (no-substring) flavor is the production default
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5,
         hash_fn="md5",
@@ -1116,8 +1116,8 @@ def q_ngram_jaccard_lsh(spark, sf_dir):
     """Scale path: MinHash-LSH candidates + exact Jaccard verify -- the
     candidate count follows true pair similarity, not shingle document
     frequency. md5 hash variant so DuckDB replays banding AND verify
-    (xxhash64 stays the production default; a pytest proves the two hash
-    families find the same labeled near-dups)."""
+    (the rolling no-substring flavor is the production default; a pytest
+    proves the hash families find the same labeled near-dups)."""
     # r=4 rows/band: background pairs (s~0.12 on this corpus) collide with
     # P = 1-(1-0.12^4)^16 = 0.33%, while s>=0.6 pairs are found with 89%+
     # probability -- candidates stay proportional to true near-dups

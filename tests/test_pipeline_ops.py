@@ -44,9 +44,10 @@ class TestDedup:
         """The md5 oracle variant and the xxhash64 production default are
         the same algorithm with the hash family swapped: both must find
         the identical pair and the near-dup, and reject unrelated docs;
-        simhash variants must agree on hamming-0 groups."""
+        simhash variants must agree on hamming-0 groups. "rolling" (the
+        no-substring production default) joins the same contract."""
         df, _ = docs_df
-        for fn in ("xxhash64", "md5"):
+        for fn in ("rolling", "xxhash64", "md5"):
             pairs = dedup.minhash_lsh_pairs(
                 df, num_hashes=32, bands=16, shingle_k=4, hash_fn=fn
             ).toPandas()
@@ -176,6 +177,36 @@ class TestDedup:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
         assert "BroadcastHashJoin" not in plan
+
+    def test_full_rolling_lsh_matches_exact_path(self, spark):
+        """hash_fn="rolling" + verify_on_hashes (zero substrings end to
+        end) finds the same >= threshold pairs WITH the same exact
+        jaccard values as the exhaustive inverted-index path (ASCII
+        text: byte k-grams == char k-grams)."""
+        base = "the quick brown fox jumps over the lazy sleeping dog tonight "
+        rows = [(i, base + f"variant {i} unique tail content number {i}") for i in range(20)]
+        rows += [(100, base * 3), (101, base * 3 + "x"), (102, base * 3 + "yz")]
+        df = spark.createDataFrame(rows, schema="doc_id bigint, text string")
+        exact = dedup.ngram_jaccard_pairs(
+            df, shingle_k=5, threshold=0.6, max_doc_freq=None
+        ).toPandas()
+        roll = dedup.ngram_jaccard_lsh_pairs(
+            df, shingle_k=5, threshold=0.6, num_hashes=32, bands=16,
+            hash_fn="rolling", verify_on_hashes=True
+        ).toPandas()
+        e = {(r["a"], r["b"]): round(r["jaccard"], 9) for _, r in exact.iterrows()}
+        g = {(r["a"], r["b"]): round(r["jaccard"], 9) for _, r in roll.iterrows()}
+        assert g == e and len(g) > 0
+
+    def test_rolling_signature_stage_has_no_shuffle(self, spark):
+        """The rolling signature stage is a narrow Arrow map: its plan
+        contains no Exchange (the JVM flavors shuffle every
+        (doc, shingle) row into the groupBy-min)."""
+        df = spark.createDataFrame(
+            [(1, "some document text body here")], "doc_id long, text string")
+        plan = dedup.minhash_signatures(df, num_hashes=16, shingle_k=4)\
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan and "Exchange" not in plan
 
     def test_verify_on_hashes_parity(self, spark):
         """The 64-bit-hash verify flavor returns identical pairs AND

@@ -71,7 +71,8 @@ def _plan_flags(df):
     }
 
 
-DEDUP_OPS = {"minhash_pairs", "simhash_hamming_pairs", "ngram_jaccard_lsh", "exact_dedup"}
+DEDUP_OPS = {"minhash_pairs", "minhash_pairs_rolling", "simhash_hamming_pairs",
+             "ngram_jaccard_lsh", "ngram_lsh_rolling", "exact_dedup"}
 
 
 def check_gates(results: dict, max_disk_spill_mb: float) -> list[str]:
@@ -180,9 +181,15 @@ def main():
         results = {}
         for name, df in [
             ("exact_dedup", dedup.exact_dedup(docs)),
-            ("minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5)),
+            ("minhash_pairs", dedup.minhash_lsh_pairs(
+                docs, num_hashes=32, bands=8, shingle_k=5, hash_fn="xxhash64")),
+            ("minhash_pairs_rolling", dedup.minhash_lsh_pairs(
+                docs, num_hashes=32, bands=8, shingle_k=5)),
             ("simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8)),
             ("ngram_jaccard_lsh", dedup.ngram_jaccard_lsh_pairs(
+                docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
+                hash_fn="xxhash64", max_bucket_size=64, verify_on_hashes=True)),
+            ("ngram_lsh_rolling", dedup.ngram_jaccard_lsh_pairs(
                 docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
                 max_bucket_size=64, verify_on_hashes=True)),
         ]:
@@ -250,7 +257,13 @@ def main():
 
     # ---- dedup family at 16x docs (PRODUCTION xxhash64 flavors) ----
     measured(spark, "exact_dedup", dedup.exact_dedup(docs), results)
-    measured(spark, "minhash_pairs", dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=5), results)
+    # xxhash64 kept as the round-over-round continuity sentinel; the
+    # *_rolling rows record the production default (no-substring
+    # Karp-Rabin signature stage) at the same scale
+    measured(spark, "minhash_pairs", dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_k=5, hash_fn="xxhash64"), results)
+    measured(spark, "minhash_pairs_rolling", dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, shingle_k=5), results)
     measured(spark, "simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8), results)
     # max_bucket_size=64: the LSH-at-scale guard (boilerplate band
     # buckets grow pair counts quadratically with corpus size; measured
@@ -260,6 +273,13 @@ def main():
     print("ngram_jaccard_lsh: max_bucket_size=64 + verify_on_hashes (scale recipe)", flush=True)
     measured(
         spark, "ngram_jaccard_lsh",
+        dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
+                                      hash_fn="xxhash64", max_bucket_size=64,
+                                      verify_on_hashes=True),
+        results,
+    )
+    measured(
+        spark, "ngram_lsh_rolling",
         dedup.ngram_jaccard_lsh_pairs(docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
                                       max_bucket_size=64, verify_on_hashes=True),
         results,
