@@ -217,7 +217,9 @@ def read_heat_map_file(
 
     import pandas as pd
 
-    size = os.path.getsize(path)
+    from osm_pbf_convert_spark.sources import fsio
+
+    size = fsio.file_size(path)
     n_splits = max(1, -(-size // split_bytes))
     bounds = [(i * split_bytes, min((i + 1) * split_bytes, size)) for i in range(n_splits)]
     rdf = spark.createDataFrame(bounds, schema="start long, end long")
@@ -226,7 +228,9 @@ def read_heat_map_file(
         for pdf in batches:
             rows_out = []
             for s, e in zip(pdf["start"], pdf["end"]):
-                with open(path, "rb") as f:
+                from osm_pbf_convert_spark.sources import fsio
+
+                with fsio.open_seekable(path) as f:
                     f.seek(int(s))
                     b = np.frombuffer(f.read(int(e) - int(s)), dtype=np.uint8)
                 rows_out.append((int(s), int((b < 0x80).sum())))
@@ -251,7 +255,9 @@ def read_heat_map_file(
             for s, e, off in zip(pdf["start"], pdf["end"], pdf["cell_off"]):
                 s, e, off = int(s), int(e), int(off)
                 back = min(s, 9)  # a uint64 varint is <= 10 bytes
-                with open(path, "rb") as f:
+                from osm_pbf_convert_spark.sources import fsio
+
+                with fsio.open_seekable(path) as f:
                     f.seek(s - back)
                     b = np.frombuffer(f.read(back + e - s), dtype=np.uint8)
                 ends = np.nonzero(b < 0x80)[0]

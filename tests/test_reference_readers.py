@@ -201,3 +201,26 @@ class TestRemoteSchemeReaders:
         write_rels_file(TestDistributedSink._mk_df(spark, rels), out)
         back = read_rels_file(spark, fsio.mock_uri(out), rels_per_split=25)
         assert {r["rel_id"] for r in back.collect()} == {rid for rid, _, _ in rels}
+
+    def test_heat_map_reads_via_mock_scheme(self, spark, tmp_path):
+        from osm_pbf_convert_spark.operators.tiling import (
+            heat_map,
+            read_heat_map_file,
+            write_heat_map_file,
+        )
+        from osm_pbf_convert_spark.sources import fsio
+
+        rng = np.random.default_rng(61)
+        nodes = spark.createDataFrame(
+            [(int(i), int(rng.integers(-(2**31), 2**31 - 1)),
+              int(rng.integers(-(2**31), 2**31 - 1))) for i in range(300)],
+            schema="id long, ilat int, ilon int")
+        out = str(tmp_path / "m.heat.map")
+        write_heat_map_file(heat_map(nodes), out)  # the reference's fixed grid
+        local = {(r["row"], r["col"], r["cnt"])
+                 for r in read_heat_map_file(spark, out,
+                                             split_bytes=1 << 20).collect()}
+        remote = {(r["row"], r["col"], r["cnt"])
+                  for r in read_heat_map_file(spark, fsio.mock_uri(out),
+                                              split_bytes=1 << 20).collect()}
+        assert remote == local and sum(c for _, _, c in remote) == 300
