@@ -141,7 +141,8 @@ def _kr_hash_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
 
 
 def _minhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str,
-                                num_hashes: int, shingle_k: int) -> DataFrame:
+                                num_hashes: int, shingle_k: int,
+                                bands: int | None = None) -> DataFrame:
     """The no-substring signature stage (``hash_fn="rolling"``): one
     Karp-Rabin window pass per Arrow batch (operators/rolling.py)
     replaces explode + hash-per-shingle + groupBy-min ENTIRELY -- a
@@ -152,33 +153,46 @@ def _minhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str,
     shape (id, sig array<long>); docs with no window (shorter than k)
     emit NO row, matching the JVM flavors where empty-shingle docs
     vanish at the explode. Measured vs the JVM stage at 50k docs in
-    BENCH/NOTES.md."""
+    BENCH/NOTES.md.
+
+    Peak memory is bounded regardless of document length: the window x
+    seed product matrix is chunked with a running minimum
+    (``rolling.segment_affine_min``), so a single multi-MB document
+    costs the same ~32 MB transient as a batch of tweets.
+
+    ``bands``: when given, additionally emits ``bnds array<long>`` --
+    the per-band Horner bucket keys (``rolling.band_buckets``) computed
+    in the SAME Arrow pass, so the LSH banding stage adds no second
+    scan and stays DuckDB-replayable."""
     import numpy as np
     import pandas as pd
 
-    from osm_pbf_convert_spark.operators.rolling import affine_family, batch_window_hashes
+    from osm_pbf_convert_spark.operators import rolling
 
-    A, B = affine_family(num_hashes)
+    A, B = rolling.affine_family(num_hashes)
 
     def batches(it):
         for pdf in it:
-            ids, sigs = [], []
-            for rid, uniq in zip(
-                pdf[id_col], batch_window_hashes(pdf[text_col], shingle_k)
-            ):
-                if not uniq.size:
-                    continue  # parity with JVM flavors: no shingles -> no row
-                with np.errstate(over="ignore"):
-                    sig = (uniq[:, None] * A[None, :] + B[None, :]).min(axis=0)
-                ids.append(rid)
-                sigs.append(sig.astype(np.int64))
-            if ids:
-                yield pd.DataFrame({id_col: ids, "sig": sigs})
+            flat, off = rolling.batch_window_hash_segments(pdf[text_col], shingle_k)
+            nonempty = np.nonzero(np.diff(off) > 0)[0]
+            if not nonempty.size:
+                continue  # parity with JVM flavors: no shingles -> no row
+            sig = rolling.segment_affine_min(flat, off, A, B)[nonempty]
+            out = {
+                id_col: pdf[id_col].to_numpy()[nonempty],
+                "sig": list(sig.astype(np.int64)),
+            }
+            if bands is not None:
+                out["bnds"] = list(
+                    rolling.band_buckets(sig, bands).astype(np.int64)
+                )
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} {id_type}, sig array<long>"
-    )
+    schema = f"{id_col} {id_type}, sig array<long>"
+    if bands is not None:
+        schema += ", bnds array<long>"
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -207,6 +221,16 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
+    if hash_fn == "rolling":
+        # band buckets come out of the SAME zero-shuffle Arrow pass as
+        # the signatures (rolling.band_buckets: 8-byte Horner keys, a
+        # 10x byte win over joined-string buckets AND replayable in
+        # DuckDB HUGEINT -- the production default carries the oracle)
+        sig = _minhash_signatures_rolling(
+            df, id_col, text_col, num_hashes, shingle_k, bands=bands
+        )
+        banded = sig.select(id_col, F.posexplode("bnds").alias("band", "bucket"))
+        return _bucket_join_pairs(banded, id_col, max_bucket_size)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
     if hash_fn == "md5":
         # bucket = the band's hash values joined as a string -- band id is
@@ -231,6 +255,13 @@ def minhash_lsh_pairs(
             ]
         )
     banded = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    return _bucket_join_pairs(banded, id_col, max_bucket_size)
+
+
+def _bucket_join_pairs(banded: DataFrame, id_col: str,
+                       max_bucket_size: int | None) -> DataFrame:
+    """(band, bucket) self-join -> distinct (a < b) candidate pairs,
+    with the optional oversized-bucket guard (see minhash_lsh_pairs)."""
     if max_bucket_size is not None:
         # window count shuffles by (band, bucket) -- the SAME key the
         # self-join below uses, so the exchange is reused, not added
@@ -379,20 +410,55 @@ def ngram_jaccard_lsh_pairs(
     )
 
 
+def _simhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The no-token-row SimHash stage (``hash_fn="rolling"``): one Arrow
+    pass per batch computes every token occurrence's Karp-Rabin Horner
+    hash and the per-doc 64-bit majority (``rolling.batch_token_hash_
+    segments`` + ``segment_bit_majority``) -- ZERO shuffle and zero
+    per-token rows, where the JVM flavors explode every (doc, token)
+    occurrence through a 64-conditional-sum aggregate (the biggest
+    remaining dedup wall at the 64x rehearsal: 56.9 s / 6.8 GB spill).
+    Tokens split on the ASCII ``\\s`` class exactly like the JVM
+    ``split(lower(text), '\\s+')``; majority ties -> 0, zero-token docs
+    -> 0, both matching the JVM flavors. Deterministic integer math mod
+    2^64 -- replayed by the DuckDB ``simhash_rolling`` oracle entry."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators import rolling
+
+    def batches(it):
+        for pdf in it:
+            hashes, off = rolling.batch_token_hash_segments(pdf[text_col])
+            sig = rolling.segment_bit_majority(hashes, off)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "simhash": sig.astype(np.int64),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 64, token_pattern: str = r"\s+", hash_fn: str = "xxhash64",
+    bits: int = 64, token_pattern: str = r"\s+", hash_fn: str = "rolling",
     agg_mode: str = "bits",
 ) -> DataFrame:
     """(id, simhash long) via explode + ONE groupBy with `bits` conditional
     sums -- each token is hashed once (simhash_col as a single Column
     expression re-evaluates the token array per bit; use this for bulk).
 
-    hash_fn: "xxhash64" (production default, 64-bit token hashes) or "md5"
-    (token hash = first 15 hex chars of md5 as a 60-bit long, so bits must
-    be <= 60; DuckDB replays it via CAST('0x'||substr(md5(tok),1,15) AS
-    BIGINT) -- the correctness-oracle variant; the sign bit stays clear,
-    so signed and unsigned shifts agree across engines).
+    hash_fn: "rolling" (production default: zero-shuffle Arrow pass, no
+    per-token rows -- see ``_simhash_signatures_rolling``; requires
+    bits=64 and the default token_pattern), "xxhash64" (JVM flavor,
+    64-bit token hashes) or "md5" (token hash = first 15 hex chars of
+    md5 as a 60-bit long, so bits must be <= 60; DuckDB replays it via
+    CAST('0x'||substr(md5(tok),1,15) AS BIGINT) -- a correctness-oracle
+    variant; the sign bit stays clear, so signed and unsigned shifts
+    agree across engines).
 
     agg_mode: "bits" aggregates one conditional SUM per bit (`bits`
     aggregate columns); "packed" packs 4 x 15-bit set-bit counters per
@@ -402,6 +468,11 @@ def simhash_signatures(
     packed SUM below 2^63 under ANSI mode and cap docs at 32767 tokens;
     longer docs raise at runtime (the guard is exact, not probabilistic).
     Measured at sf0.1 before choosing the default -- see BENCH/NOTES.md."""
+    if hash_fn == "rolling":
+        if bits != 64 or token_pattern != r"\s+":
+            raise ValueError("rolling simhash is 64-bit over \\s+ tokens; "
+                             "pass hash_fn='xxhash64' for other shapes")
+        return _simhash_signatures_rolling(df, id_col, text_col)
     if hash_fn == "md5" and bits > 60:
         raise ValueError("md5 variant carries 60 hash bits; pass bits<=60")
     tok = df.select(
@@ -505,7 +576,7 @@ def simhash_col(text, bits: int = 64, token_pattern: str = r"\s+"):
 def simhash_hamming_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, bands: int | None = None,
-    bits: int = 64, hash_fn: str = "xxhash64",
+    bits: int = 64, hash_fn: str = "rolling",
 ) -> DataFrame:
     """Near-duplicate pairs with simhash Hamming distance <= max_hamming.
 
@@ -550,7 +621,7 @@ def simhash_hamming_pairs(
 
 def simhash_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 64, hash_fn: str = "xxhash64",
+    bits: int = 64, hash_fn: str = "rolling",
 ) -> DataFrame:
     """Groups of docs with IDENTICAL simhash (near-dup at hamming 0); for
     hamming <= d banding, split the bits into d+1 chunks upstream."""

@@ -158,10 +158,16 @@ def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
 
     Byte-level windows over UTF-8 (the JVM flavors window over
     CHARACTERS) shift k-gram boundaries only on multi-byte text --
-    fingerprint equality, the operator's contract, is unaffected."""
+    fingerprint equality, the operator's contract, is unaffected.
+
+    The bottom-k gather is fully vectorized over the batch (one padded
+    index matrix against the sorted-unique segment layout of
+    ``rolling.batch_window_hash_segments``) -- zero per-row Python, and
+    the combine is deterministic mod-2^64 arithmetic the DuckDB
+    ``fingerprint_rolling`` oracle entry replays in HUGEINT."""
     import numpy as np
 
-    from osm_pbf_convert_spark.operators.rolling import batch_window_hashes
+    from osm_pbf_convert_spark.operators.rolling import batch_window_hash_segments
 
     out_fields = list(df.schema.fields)
     schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
@@ -176,13 +182,20 @@ def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
             dtype=np.uint64,
         )
         for pdf in it:
-            fps = np.zeros(len(pdf), dtype=np.uint64)
-            for i, uniq in enumerate(batch_window_hashes(pdf[text_col], k)):
-                if not uniq.size:
-                    continue  # text shorter than k: fingerprint 0
-                bot = uniq[:bottom_k]
-                with np.errstate(over="ignore"):
-                    fps[i] = (bot * comb_pow[:bot.size]).sum(dtype=np.uint64)
+            flat, off = batch_window_hash_segments(pdf[text_col], k)
+            cnt = np.diff(off)
+            # per-doc bottom-k of the sorted-unique segment: gather the
+            # first min(cnt, bottom_k) hashes, zero-pad the rest (a zero
+            # value times its power contributes 0, matching the
+            # truncated comb_pow[:bot.size] of the per-row form); docs
+            # with no window keep fingerprint 0
+            cols = np.arange(bottom_k, dtype=np.int64)[None, :]
+            mask = cols < cnt[:, None]
+            vals = np.zeros((cnt.size, bottom_k), dtype=np.uint64)
+            idx = off[:-1, None] + cols
+            vals[mask] = flat[idx[mask]]
+            with np.errstate(over="ignore"):
+                fps = (vals * comb_pow[None, :]).sum(axis=1, dtype=np.uint64)
             out = pdf.copy()
             out["fingerprint"] = pd.Series(fps.astype(np.int64), index=pdf.index)
             yield out

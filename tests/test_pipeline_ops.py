@@ -68,15 +68,19 @@ class TestDedup:
         from pyspark.errors.exceptions.captured import SparkRuntimeException
 
         df, _ = docs_df
-        a = dedup.simhash_signatures(df, agg_mode="bits").orderBy("doc_id").collect()
-        b = dedup.simhash_signatures(df, agg_mode="packed").orderBy("doc_id").collect()
+        # pin the JVM flavor: agg_mode is a JVM-aggregate concern (the
+        # rolling production default has no per-token aggregate at all)
+        a = dedup.simhash_signatures(
+            df, hash_fn="xxhash64", agg_mode="bits").orderBy("doc_id").collect()
+        b = dedup.simhash_signatures(
+            df, hash_fn="xxhash64", agg_mode="packed").orderBy("doc_id").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
         big = spark.createDataFrame(
             [(1, "a " * 70000)], schema="doc_id bigint, text string"
         )
         with pytest.raises(SparkRuntimeException, match="32767"):
-            dedup.simhash_signatures(big, agg_mode="packed").collect()
+            dedup.simhash_signatures(big, hash_fn="xxhash64", agg_mode="packed").collect()
 
     def test_ngram_jaccard(self, docs_df):
         df, _ = docs_df
