@@ -275,12 +275,24 @@ def main():
     e2e, timings, (n_nodes, n_tiles) = best
 
     # ---- timed: representative per-operator queries at this sf ----
-    # Round-2 lesson: a single timing per query swung up to 1.82x on
-    # UNCHANGED code (host noise) -- per-query numbers are the MEDIAN of
-    # --query-iters runs (>=4; the first run of each query additionally
-    # pays its codegen, which the median discards). `query_spread` reports
-    # the median relative (max-min)/median across queries: deltas within
-    # that band round-over-round are noise, not plan changes.
+    # Measurement protocol (round-6 revision). Two rounds in a row the
+    # sf0.1 per-query numbers drifted +10-57% on UNTOUCHED plans while e2e
+    # improved -- the consecutive-runs-per-query schedule concentrates any
+    # host-contention window on whichever 1-2 queries it overlaps, and the
+    # median keeps half of it. Fixes, both standard practice:
+    #   * INTERLEAVE: run the whole subset as --query-iters round-robin
+    #     passes (plus one untimed warmup pass for codegen/page cache), so
+    #     a contention window dilutes across all queries instead of
+    #     tripling one of them;
+    #   * MIN, not median: these are deterministic plans on identical
+    #     input -- noise is strictly additive, so the minimum is the
+    #     contention-free estimator (same rule tools/scaling.py uses).
+    # Validated on identical code: two back-to-back runs under the old
+    # protocol disagreed by >10% on 9/25 queries; under this one see
+    # BENCH/NOTES.md round-6 (max |delta| at or under the attribution bar).
+    # `query_spread` = median over queries of (max-min)/min across the
+    # timed passes: the residual noise band round-over-round deltas must
+    # clear before they mean anything.
     if not args.skip_queries:
         Q._pages(spark, sf)  # pre-warm synth cache (setup, not operator cost)
         subset = [
@@ -291,28 +303,28 @@ def main():
             "simhash_hamming_pairs", "tag_dict_encode", "ngram_jaccard_lsh",
             "lang_id", "fingerprint", "ivf_topk", "tile_windows",
             "pbf_file_nodes",
+            # the production rolling defaults, oracled in round 6 -- benched
+            # alongside their md5 oracle pins so the round-over-round record
+            # carries the path users actually run
+            "fingerprint_rolling", "minhash_pairs_rolling",
+            "ngram_lsh_rolling", "simhash_rolling",
         ]
-        spreads = []
-        for name in subset:
-            runs = []
-            # one untimed warmup first: the cold iteration pays Python-side
-            # plan construction, codegen compile, and first-touch page
-            # cache, and was the (max-min) outlier in nearly every query's
-            # sample -- excluding it (standard JMH-style practice) makes
-            # query_spread measure steady-state noise, which is what
-            # round-over-round comparisons need
-            for _ in range(max(1, args.query_warmup)):
-                force(Q.QUERIES[name](spark, sf))
-            for _ in range(max(1, args.query_iters)):
+        runs = {name: [] for name in subset}
+        for it in range(max(1, args.query_warmup) + max(1, args.query_iters)):
+            for name in subset:
                 t0 = time.time()
                 force(Q.QUERIES[name](spark, sf))
-                runs.append(time.time() - t0)
-            med = statistics.median(runs)
-            timings[name] = round(med, 3)
-            if med > 0:
-                spreads.append((max(runs) - min(runs)) / med)
+                if it >= max(1, args.query_warmup):
+                    runs[name].append(time.time() - t0)
+        spreads = []
+        for name in subset:
+            best = min(runs[name])
+            timings[name] = round(best, 3)
+            if best > 0:
+                spreads.append((max(runs[name]) - best) / best)
         timings_meta = {
             "query_iters": max(1, args.query_iters),
+            "query_protocol": "interleaved-min",
             "query_spread": round(statistics.median(spreads), 3) if spreads else None,
         }
     else:

@@ -104,18 +104,31 @@ def main():
     if args.verb == "blob-index":
         # per-blob id min/max/count zone maps (IdsIndexerBlobProcessor.cs:38-113);
         # the page url is the blob identity in the pages layout
-        _nodes(spark, args).groupBy("url").agg(
+        from osm_pbf_convert_spark.sources.pbf import decode_nodes
+
+        pay, col = _payloads(spark, args)
+        if args.pbf:
+            # the reference indexes only OSMData blobs -- the OSMHeader
+            # frame gets no record (PbfFileProcessor.cs: `if
+            # (blob.Header.Type != "OSMData") continue;` before BlobRead)
+            pay = pay.filter(F.col("blob_type") == "OSMData")
+        # ONE payload scan feeds every pass below (the extract is decoded
+        # once per entity kind, not once per aggregate)
+        pay = pay.persist()
+        nodes = decode_nodes(pay, payload_col=col, on_error="skip")
+        # single decode + single groupBy for count AND min/max
+        ids = nodes.groupBy("url").agg(
             F.min("id").alias("min_id"), F.max("id").alias("max_id"),
             F.count(F.lit(1)).alias("cnt"),
-        ).write.mode("overwrite").parquet(f"{out}/blobs")
+        ).persist()
+        ids.write.mode("overwrite").parquet(f"{out}/blobs")
         if args.dat:
             # the reference's .blobs.dat byte form (BlobIdsInfo.cs:35-51):
             # per-blob node/way/rel counts; node-less blobs keep the C#
             # long.MaxValue/MinValue accumulator sentinels
             from osm_pbf_convert_spark.operators.blob_index_store import write_blobs_dat
-            from osm_pbf_convert_spark.sources.pbf import decode_relations
+            from osm_pbf_convert_spark.sources.pbf import decode_relations, decode_ways
 
-            pay, col = _payloads(spark, args)
             urls = pay.select("url").distinct()
             if args.pbf:  # url = <path>#<offset>: the true blob offset
                 pos = F.element_at(F.split("url", "#"), -1).cast("long")
@@ -123,29 +136,27 @@ def main():
                 from pyspark.sql import Window
 
                 pos = F.row_number().over(Window.orderBy("url")).cast("long") - 1
-            counts = [
-                fn(spark, args).groupBy("url").agg(F.count(F.lit(1)).alias(alias))
-                for fn, alias in ((_nodes, "nc"), (_ways, "wc"))
-            ]
+            wc = decode_ways(pay, payload_col=col, on_error="skip") \
+                .groupBy("url").agg(F.count(F.lit(1)).alias("wc"))
             rc = decode_relations(pay, payload_col=col, on_error="skip") \
                 .groupBy("url").agg(F.count(F.lit(1)).alias("rc"))
-            ids = _nodes(spark, args).groupBy("url").agg(
-                F.min("id").alias("mn"), F.max("id").alias("mx"))
             info = urls.select("url", pos.alias("start_position"))
-            for d in (*counts, rc, ids):
+            for d in (ids, wc, rc):
                 # one row per blob on BOTH sides, but blob count scales
                 # with corpus size (file_size/16MB): merge, not broadcast
                 info = info.join(d.hint("merge"), "url", "left")
             info = info.select(
                 "start_position",
-                F.coalesce("nc", F.lit(0)).alias("nodes_count"),
-                F.coalesce("mn", F.lit((1 << 63) - 1)).alias("min_node_id"),
-                F.coalesce("mx", F.lit(-(1 << 63))).alias("max_node_id"),
+                F.coalesce("cnt", F.lit(0)).alias("nodes_count"),
+                F.coalesce("min_id", F.lit((1 << 63) - 1)).alias("min_node_id"),
+                F.coalesce("max_id", F.lit(-(1 << 63))).alias("max_node_id"),
                 F.coalesce("wc", F.lit(0)).alias("ways_count"),
                 F.coalesce("rc", F.lit(0)).alias("rels_count"),
             )
             nb = write_blobs_dat(info, f"{out}/blobs.dat")
             print(f"wrote {nb} blobs.dat bytes")
+        ids.unpersist()
+        pay.unpersist()
 
     elif args.verb == "nodes-index":
         # clustered node store (NodesIndex.cs:107-146): bucketed + sorted on

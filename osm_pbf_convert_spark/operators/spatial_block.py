@@ -474,9 +474,16 @@ def write_spatial_blocks(
     driver's JVM Hadoop FileSystem API."""
     from osm_pbf_convert_spark.sources import fsio
 
+    import pyarrow as pa
+
     try:
         fsio.makedirs(out_dir)
-    except Exception:  # scheme only the JVM knows: driver Hadoop bridge
+    except (ValueError, NotImplementedError, pa.ArrowInvalid,
+            pa.ArrowNotImplementedError):
+        # scheme Arrow cannot RESOLVE: driver Hadoop bridge below. Real
+        # IO failures (permissions, credentials) must propagate -- the
+        # JVM funnel would only re-hit them later, 10x slower and with a
+        # misleading driver-path traceback.
         pass
     else:
         local = _local_dir(out_dir)

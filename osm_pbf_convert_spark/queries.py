@@ -1238,6 +1238,222 @@ WHERE common / (za + zb - common) >= 0.6
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling-flavor catalog entries: the PRODUCTION defaults (hash_fn="rolling",
+# operators/rolling.py) under the driver's rows+schema+hash gate. Karp-Rabin
+# mod 2^64 and the affine permutation family are deterministic integer
+# arithmetic, so DuckDB replays them in HUGEINT with explicit `% 2^64`
+# reductions; 64-bit products that would overflow HUGEINT (A*w with both
+# factors < 2^64) are computed via the hi/lo 32-bit split
+#   A*w mod 2^64 = (A*(w mod 2^32) + ((A*(w div 2^32)) mod 2^32)*2^32) mod 2^64.
+# The Spark side hashes the lower-cased UTF-8 BYTES; the SQL side hashes
+# codepoints of lower(text) -- identical on the driver corpus, which is
+# pure ASCII (verified: octet_length(encode(text)) == length(text) for
+# every sf0.01 row). Non-ASCII corpora keep the pytest brute-force parity
+# evidence (tests/test_rolling.py) instead.
+# ---------------------------------------------------------------------------
+
+_MOD64 = 1 << 64
+_SIGNED64 = (
+    "CAST(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
+    "THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END AS BIGINT)"
+)
+
+
+def _sql_mulmod(a: int, x: str) -> str:
+    """({a} * {x}) % 2^64 in HUGEINT via the hi/lo split (a < 2^64, x a
+    HUGEINT expression in [0, 2^64))."""
+    return (
+        f"(({a}::HUGEINT * (({x}) % 4294967296::HUGEINT)"
+        f" + (({a}::HUGEINT * (({x}) // 4294967296::HUGEINT)) % 4294967296::HUGEINT)"
+        f" * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT)"
+    )
+
+
+def _kr_window_list(k: int) -> str:
+    """SQL list expression (over CTE columns ``cps``/``text``): every
+    k-window Karp-Rabin hash, replaying
+    rolling.batch_window_hash_segments' polynomial sum_j byte_j *
+    KR_BASE^(k-1-j) mod 2^64 (codepoint*power < 2^85, k-term sum < 2^88:
+    well inside HUGEINT)."""
+    from osm_pbf_convert_spark.operators.rolling import window_powers
+
+    powers = window_powers(k).tolist()
+    terms = " + ".join(f"cps[i+{j}]*{p}::HUGEINT" for j, p in enumerate(powers))
+    return (
+        f"list_transform(range(1, greatest(length(text) - {k - 1}, 0) + 1), "
+        f"i -> ({terms}) % 18446744073709551616::HUGEINT)"
+    )
+
+
+def _kr_windows_cte(k: int) -> str:
+    """CTEs: documents -> (doc_id, ws = distinct window-hash list)."""
+    return f"""ch AS (
+  SELECT doc_id, text,
+         list_transform(string_split(lower(text), ''), c -> unicode(c)::HUGEINT) AS cps
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, list_distinct({_kr_window_list(k)}) AS ws FROM ch
+)"""
+
+
+def _rolling_banded_cte(num_hashes: int, bands: int, shingle_k: int) -> str:
+    """CTE chain replaying minhash_lsh_pairs(hash_fn='rolling'): distinct
+    KR window hashes -> per-seed min of A_i*w + B_i mod 2^64 (the SAME
+    affine_family(seed=42) literals numpy uses) -> per-band Horner bucket
+    fold(acc*KR_BASE + h, acc0=band) mod 2^64 (rolling.band_buckets)."""
+    from osm_pbf_convert_spark.operators.rolling import KR_BASE, affine_family
+
+    A, B = affine_family(num_hashes)
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({_sql_mulmod(int(A[i]), 'w')} + {int(B[i])}::HUGEINT)"
+        f" % 18446744073709551616::HUGEINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+
+    def bucket(b: int) -> str:
+        acc = f"{b}::HUGEINT"
+        for i in range(r):
+            acc = (f"(({acc}) * {KR_BASE} + h{b * r + i})"
+                   f" % 18446744073709551616::HUGEINT")
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""{_kr_windows_cte(shingle_k)},
+whr AS (SELECT doc_id, unnest(ws) AS w FROM wh),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM whr GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+)"""
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    """The PRODUCTION fingerprint default (hash_fn='rolling' -- the
+    30x-measured no-substring flavor) under the full DuckDB hash gate."""
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _fingerprint_rolling_oracle() -> str:
+    from osm_pbf_convert_spark.operators.text import _KR_COMBINE
+
+    bottom_k = 8
+    terms = " + ".join(
+        f"COALESCE({_sql_mulmod(pow(_KR_COMBINE, bottom_k - 1 - j, _MOD64), f'sws[{j + 1}]')}, 0::HUGEINT)"
+        for j in range(bottom_k)
+    )
+    fp = f"(({terms}) % 18446744073709551616::HUGEINT)"
+    return f"""
+WITH {_kr_windows_cte(8)},
+bot AS (SELECT doc_id, list_sort(ws) AS sws FROM wh)
+SELECT doc_id, {_SIGNED64.format(v=fp)} AS fingerprint
+FROM bot
+"""
+
+
+def q_minhash_pairs_rolling(spark, sf_dir):
+    """The PRODUCTION minhash-LSH default (hash_fn='rolling'): zero-shuffle
+    Arrow signature+banding stage, 8-byte Horner band keys. Same banding
+    parameters as the md5-pinned `minhash_pairs` entry."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5,
+    )
+
+
+_Q_MINHASH_ROLLING_ORACLE = f"""
+WITH {_rolling_banded_cte(32, 8, 5)}
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y USING (band, bucket)
+WHERE x.doc_id < y.doc_id
+"""
+
+
+def q_ngram_lsh_rolling(spark, sf_dir):
+    """The PRODUCTION ngram-LSH scale recipe end to end: rolling
+    signatures + Horner band buckets + hash-set exact verify
+    (verify_on_hashes) -- no substring materializes anywhere. Same
+    banding/threshold as the md5-pinned `ngram_jaccard_lsh` entry."""
+    return dedup.ngram_jaccard_lsh_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=6, threshold=0.6,
+        num_hashes=64, bands=16, verify_on_hashes=True,
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q_NGRAM_LSH_ROLLING_ORACLE = f"""
+WITH {_rolling_banded_cte(64, 16, 6)},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         len(list_intersect(wa.ws, wb.ws)) AS common,
+         len(wa.ws) AS za, len(wb.ws) AS zb
+  FROM cand c
+  JOIN wh wa ON wa.doc_id = c.a
+  JOIN wh wb ON wb.doc_id = c.b
+)
+SELECT a, b, ROUND(common / (za + zb - common), 6) AS jaccard
+FROM scored
+WHERE common / (za + zb - common) >= 0.6
+"""
+
+
+def q_simhash_rolling(spark, sf_dir):
+    """The PRODUCTION simhash default (hash_fn='rolling'): per-doc 64-bit
+    signatures straight from the zero-shuffle token-hash pass -- every
+    one of the 500 signatures value-hashed against the DuckDB replay
+    (a per-doc check, strictly stronger than the group/pair entries)."""
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "simhash"
+    )
+
+
+def _simhash_rolling_oracle() -> str:
+    from osm_pbf_convert_spark.operators.rolling import KR_BASE
+
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h // {1 << i}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    assemble = "\n    + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    # RE2's \s EXCLUDES \x0b while Java's includes it: the explicit class
+    # below is Java \s == Python bytes.split() == the numpy delimiter set
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT),
+                     (a, x) -> (a * {KR_BASE} + x) % 18446744073709551616::HUGEINT) AS h
+  FROM tok
+),
+sums AS (
+  SELECT doc_id, {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sig0 AS (SELECT doc_id, ({assemble}) AS s FROM sums)
+SELECT d.doc_id, COALESCE({_SIGNED64.format(v='s.s')}, 0) AS simhash
+FROM documents d LEFT JOIN sig0 s USING (doc_id)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1711,6 +1927,10 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_groups": q_simhash_groups,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "minhash_pairs_rolling": q_minhash_pairs_rolling,
+    "ngram_lsh_rolling": q_ngram_lsh_rolling,
+    "simhash_rolling": q_simhash_rolling,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
 }
@@ -1762,6 +1982,10 @@ ORACLES = {
     "simhash_hamming_pairs": _Q_SIMHASH_HAMMING_ORACLE,
     "ngram_jaccard_lsh": _Q_NGRAM_LSH_ORACLE,
     "ngram_lsh_bucket_cap": _Q_NGRAM_LSH_CAP_ORACLE,
+    "fingerprint_rolling": _fingerprint_rolling_oracle(),
+    "minhash_pairs_rolling": _Q_MINHASH_ROLLING_ORACLE,
+    "ngram_lsh_rolling": _Q_NGRAM_LSH_ROLLING_ORACLE,
+    "simhash_rolling": _simhash_rolling_oracle(),
     "embedding_neardup": _embedding_neardup_oracle(),
     "multimodal_features": _multimodal_oracle(),
 }

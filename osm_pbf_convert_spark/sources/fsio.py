@@ -95,13 +95,30 @@ def makedirs(path: str) -> None:
         pass
 
 
+def _match_glob(path: str, pattern: str) -> bool:
+    """Glob match with standard separator semantics: ``*``/``?``/``[..]``
+    stay within ONE path segment (plain ``fnmatch`` would let ``*``
+    cross ``/``, silently pulling nested files into a ``dir/*.pbf``
+    listing); a whole-segment ``**`` matches any number of segments."""
+    def rec(ps: list[str], pp: list[str]) -> bool:
+        if not pp:
+            return not ps
+        if pp[0] == "**":
+            return any(rec(ps[i:], pp[1:]) for i in range(len(ps) + 1))
+        return bool(ps) and fnmatch.fnmatch(ps[0], pp[0]) and rec(ps[1:], pp[1:])
+
+    return rec(path.split("/"), pattern.split("/"))
+
+
 def expand_glob(pattern: str) -> list[str]:
     """Expand one path-or-glob into sorted concrete URIs (scheme kept).
 
     Local patterns use ``glob``; remote schemes list the deepest
-    magic-free parent recursively and ``fnmatch`` against it, which is
-    how object-store listings support wildcards (prefix scan + client
-    filter)."""
+    magic-free parent recursively and match against it, which is how
+    object-store listings support wildcards (prefix scan + client
+    filter). Matching is per path segment on both branches (``*`` never
+    crosses ``/``; ``**`` recurses), so a ``mock://`` or ``s3://``
+    pattern selects exactly the files the local branch would."""
     fs, p, prefix = resolve(pattern)
     if not _glob.has_magic(p):
         return [pattern]
@@ -116,7 +133,7 @@ def expand_glob(pattern: str) -> list[str]:
     hits = [
         i.path
         for i in fs.get_file_info(sel)
-        if i.type == pafs.FileType.File and fnmatch.fnmatch(i.path, p)
+        if i.type == pafs.FileType.File and _match_glob(i.path, p)
     ]
     return [prefix + h for h in sorted(hits)]
 

@@ -208,9 +208,12 @@ class TestMessyExtractAllVerbs:
         agg = pq.groupBy().sum("cnt").collect()[0][0]
         assert agg == N_NODES
         recs = decode_blob_ids_info_py(open(f"{out}/blobs.dat", "rb").read())
-        assert len(recs) == messy_extract["n_frames"]
+        # reference parity: only OSMData blobs get a record -- the
+        # OSMHeader frame (offset 0) is skipped (PbfFileProcessor.cs
+        # `if (blob.Header.Type != "OSMData") continue;`)
+        assert len(recs) == messy_extract["n_frames"] - 1
         pos = [r[0] for r in recs]
-        assert pos == sorted(pos) and pos[0] == 0
+        assert pos == sorted(pos) and pos[0] > 0
         assert sum(r[1] for r in recs) == N_NODES
         assert sum(r[4] for r in recs) == N_WAYS
         assert sum(r[5] for r in recs) == N_RELS
