@@ -14,7 +14,9 @@ exactly like scaling a TPC-H SF):
   as tools/scale_rehearsal.py: within-replica near-dup structure is
   preserved, cross-replica similarity collapses, so the dedup family
   scales in docs AND groups, not into one giant cluster).
-- embeddings: vec_id shift (throughput scaling for the ANN family).
+- embeddings: vec_id shift + per-replica deterministic perturbation
+  (distinct vectors in tight near-dup families -- verbatim copies made
+  recall measurements degenerate; see the embeddings COPY below).
 - events: event/user id shifts (more users, unchanged session shape).
 
     python tools/make_big_sf.py --replicate 10 --out /dev/shm/spark_graft/sf0.1x10
@@ -74,8 +76,21 @@ def main():
                 CASE r {cases} END AS text, lang, source, n_chars
             FROM {src('documents')} {rep}) TO {dst('documents')} (FORMAT PARQUET)"""
     )
+    # vec_id shift + deterministic per-replica perturbation (sigma ~ 5% of
+    # the unit-ish element scale). A verbatim copy made the 10x corpus
+    # DEGENERATE for recall measurements: each query's top-k were its own
+    # identical replicas, so IVF recall read 1.0 no matter what. Perturbed
+    # replicas are distinct vectors forming tight near-dup families
+    # (cosine ~0.999 within, ~0 across on this isotropic corpus) -- the
+    # same planted-structure treatment documents get, so the ANN family
+    # scales in vectors AND in genuine neighborhood structure.
     con.sql(
-        f"""COPY (SELECT vec_id + r * 10000000 AS vec_id, embedding, label
+        f"""COPY (SELECT vec_id + r * 10000000 AS vec_id,
+                CASE WHEN r = 0 THEN embedding
+                     ELSE list_transform(embedding, (x, i) ->
+                          CAST(x + 0.05 * sin(vec_id * 7919.0 + i * 104729.0
+                                              + r * 1299709.0) AS FLOAT))
+                END AS embedding, label
             FROM {src('embeddings')} {rep}) TO {dst('embeddings')} (FORMAT PARQUET)"""
     )
     con.sql(

@@ -72,7 +72,8 @@ def _plan_flags(df):
 
 
 DEDUP_OPS = {"minhash_pairs", "minhash_pairs_rolling", "simhash_hamming_pairs",
-             "ngram_jaccard_lsh", "ngram_lsh_rolling", "exact_dedup"}
+             "simhash_rolling", "ngram_jaccard_lsh", "ngram_lsh_rolling",
+             "exact_dedup"}
 
 
 def check_gates(results: dict, max_disk_spill_mb: float) -> list[str]:
@@ -185,7 +186,9 @@ def main():
                 docs, num_hashes=32, bands=8, shingle_k=5, hash_fn="xxhash64")),
             ("minhash_pairs_rolling", dedup.minhash_lsh_pairs(
                 docs, num_hashes=32, bands=8, shingle_k=5)),
-            ("simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8)),
+            ("simhash_hamming_pairs", dedup.simhash_hamming_pairs(
+                docs, max_hamming=8, hash_fn="xxhash64")),
+            ("simhash_rolling", dedup.simhash_hamming_pairs(docs, max_hamming=8)),
             ("ngram_jaccard_lsh", dedup.ngram_jaccard_lsh_pairs(
                 docs, shingle_k=6, threshold=0.6, num_hashes=64, bands=16,
                 hash_fn="xxhash64", max_bucket_size=64, verify_on_hashes=True)),
@@ -264,7 +267,10 @@ def main():
         docs, num_hashes=32, bands=8, shingle_k=5, hash_fn="xxhash64"), results)
     measured(spark, "minhash_pairs_rolling", dedup.minhash_lsh_pairs(
         docs, num_hashes=32, bands=8, shingle_k=5), results)
-    measured(spark, "simhash_hamming_pairs", dedup.simhash_hamming_pairs(docs, max_hamming=8), results)
+    measured(spark, "simhash_hamming_pairs", dedup.simhash_hamming_pairs(
+        docs, max_hamming=8, hash_fn="xxhash64"), results)
+    measured(spark, "simhash_rolling", dedup.simhash_hamming_pairs(
+        docs, max_hamming=8), results)
     # max_bucket_size=64: the LSH-at-scale guard (boilerplate band
     # buckets grow pair counts quadratically with corpus size; measured
     # 9x wall at 4x volume without it, and ZERO verified pairs lost
