@@ -121,8 +121,9 @@ def main():
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--replicate", type=int, default=1,
                     help="union K disjoint input copies (compute-bound scaling runs)")
-    ap.add_argument("--iterations", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2")),
-                    help="repeat the timed pipeline; report the min (contention-free estimate)")
+    ap.add_argument("--iterations", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")),
+                    help="repeat the timed pipeline; report per-stage mins and "
+                         "the min full-pipeline wall (contention-free estimate)")
     ap.add_argument("--query-warmup", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_QUERY_WARMUP", "1")),
                     help="untimed warmup runs per query before the timed iters")
@@ -219,7 +220,13 @@ def main():
     warm.unpersist()
 
     # ---- timed: flagship end-to-end pipeline (min over iterations) ----
+    # Per-STAGE minima across iterations (not the best iteration's stage
+    # splits): a contention blip inside the winning iteration would
+    # otherwise land verbatim in that stage's reported number. The stage
+    # rows therefore need not sum to the e2e row -- e2e stays min of the
+    # full-pipeline walls (the number the throughput rates divide).
     best = None
+    stage_mins = {}
     for _ in range(max(1, args.iterations)):
         timings = {}
         t_e2e = time.time()
@@ -270,9 +277,12 @@ def main():
         # parquet with fresh file names, invalidating this iteration's
         # DataFrame listings -- a deferred count would hit FileNotFound
         counts = (nodes.count(), pyr.count())
+        for k, v in timings.items():
+            stage_mins[k] = min(stage_mins.get(k, v), v)
         if best is None or e2e < best[0]:
-            best = (e2e, timings, counts)
-    e2e, timings, (n_nodes, n_tiles) = best
+            best = (e2e, counts)
+    e2e, (n_nodes, n_tiles) = best
+    timings = dict(stage_mins)
 
     # ---- timed: representative per-operator queries at this sf ----
     # Measurement protocol (round-6 revision). Two rounds in a row the

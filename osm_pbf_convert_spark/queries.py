@@ -1454,6 +1454,76 @@ FROM documents d LEFT JOIN sig0 s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# pair graph -> dedup groups: connected components (large-star/small-star,
+# operators/graph.py) over the minhash-LSH pair stream, oracled with a
+# DuckDB RECURSIVE transitive closure over the SAME replayed pairs
+# ---------------------------------------------------------------------------
+
+def _minhash_pair_graph(spark, sf_dir):
+    from osm_pbf_convert_spark.operators.graph import near_dup_groups
+
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=32, bands=8, shingle_k=5,
+        hash_fn="md5",
+    )
+    return near_dup_groups(pairs)
+
+
+_Q_CC_CTE = f"""{_minhash_banded_cte(32, 8, 5)},
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+e AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)"""
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUP labels: minhash-LSH pairs (md5 oracle pin) ->
+    alternating large-star/small-star connected components. The oracle is
+    an independent algorithm entirely -- DuckDB's recursive transitive
+    closure over the same replayed pairs -- so a hash match here checks
+    the star rounds' fixpoint, not just the pair stream."""
+    return _minhash_pair_graph(spark, sf_dir)
+
+
+_Q_DEDUP_GROUPS_ORACLE = f"""
+WITH RECURSIVE {_Q_CC_CTE}
+SELECT doc_id, component FROM lbl
+"""
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """Keep-one-per-cluster: longest text per component (ties -> min id),
+    with the cluster size -- the pipeline step that turns near-dup pairs
+    into a drop list."""
+    from osm_pbf_convert_spark.operators.graph import dedup_survivors
+
+    labels = _minhash_pair_graph(spark, sf_dir)
+    return dedup_survivors(_t(spark, sf_dir, "documents"), labels)
+
+
+_Q_DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_Q_CC_CTE}
+SELECT component, doc_id AS survivor_id, n_docs FROM (
+  SELECT l.component, l.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY l.component
+                            ORDER BY length(d.text) DESC, l.doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY l.component) AS BIGINT) AS n_docs
+  FROM lbl l JOIN documents d USING (doc_id)
+) WHERE rn = 1
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
@@ -1931,6 +2001,8 @@ QUERIES = {
     "minhash_pairs_rolling": q_minhash_pairs_rolling,
     "ngram_lsh_rolling": q_ngram_lsh_rolling,
     "simhash_rolling": q_simhash_rolling,
+    "dedup_groups": q_dedup_groups,
+    "dedup_survivors": q_dedup_survivors,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_features": q_multimodal_features,
 }
@@ -1986,6 +2058,8 @@ ORACLES = {
     "minhash_pairs_rolling": _Q_MINHASH_ROLLING_ORACLE,
     "ngram_lsh_rolling": _Q_NGRAM_LSH_ROLLING_ORACLE,
     "simhash_rolling": _simhash_rolling_oracle(),
+    "dedup_groups": _Q_DEDUP_GROUPS_ORACLE,
+    "dedup_survivors": _Q_DEDUP_SURVIVORS_ORACLE,
     "embedding_neardup": _embedding_neardup_oracle(),
     "multimodal_features": _multimodal_oracle(),
 }
