@@ -99,6 +99,25 @@ def test_survivors_pick_longest_then_min_id(spark):
     assert out == {1: (2, 3), 7: (7, 2)}
 
 
+def test_star_rounds_never_broadcast(spark):
+    """The mins side of a star round is node-sized (fact-sized at scale):
+    it must sort-merge/shuffled-hash join, never auto-broadcast. The
+    per-round localCheckpoint makes input stats unknown (treated as huge),
+    which guarantees this -- pin that property."""
+    from osm_pbf_convert_spark.operators.graph import (
+        _canonical_edges,
+        _large_star,
+        _small_star,
+    )
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)], "a long, b long")
+    edges = _canonical_edges(pairs, "a", "b").localCheckpoint(eager=True)
+    for step in (_large_star, _small_star):
+        plan = step(edges)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_catalog_entries_match_oracle_semantics(spark, sf_dir):
     """dedup_groups labels partition exactly the nodes of minhash pairs,
     and every pair's endpoints share a component."""
