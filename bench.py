@@ -318,6 +318,10 @@ def main():
             # carries the path users actually run
             "fingerprint_rolling", "minhash_pairs_rolling",
             "ngram_lsh_rolling", "simhash_rolling",
+            # round-6 pipeline step: near-dup pairs -> connected-component
+            # group labels (the full md5-pinned pair graph + star rounds),
+            # so the CC operator has a driver-visible round-over-round row
+            "dedup_groups",
         ]
         runs = {name: [] for name in subset}
         for it in range(max(1, args.query_warmup) + max(1, args.query_iters)):

@@ -28,6 +28,19 @@ import numpy as np
 KR_BASE = 1000003  # classic string-hash prime; < 2^20 so a DuckDB
 #                    HUGEINT Horner step (acc*BASE + byte) stays < 2^85
 
+# Token-hash affine finalizer (odd multiplier -> bijection on Z_2^64).
+# A raw base-KR_BASE Horner hash of a length-L token is < 2^(20L+8):
+# every 1-3 char token leaves bits 48-63 at ZERO, which biases simhash's
+# high bits toward 0 and collapses the high-bit pigeonhole bands into
+# giant buckets (measured: the 64x-rehearsal simhash_rolling row shuffled
+# 2x the xxhash64 flavor's bytes before this finalizer). A*h+B with a
+# full-width odd A separates the small raw hashes across all 64 bits;
+# DuckDB replays it with the same hi/lo 32-bit mulmod split as the
+# minhash affine family. Window hashes don't need this: a k>=5-byte
+# window polynomial already wraps mod 2^64.
+TOK_FIN_A = 0x9E3779B97F4A7C15  # 2^64/golden ratio, odd
+TOK_FIN_B = 0x2545F4914F6CDD1D
+
 MOD64 = 1 << 64
 U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -150,10 +163,11 @@ def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
 
 def batch_token_hash_segments(texts):
     """``(flat, offsets)`` for a pandas Series of strings: the per-row
-    slice is the Karp-Rabin Horner hash (base ``KR_BASE`` mod 2^64) of
+    slice is the affine-finalized Karp-Rabin Horner hash
+    (``TOK_FIN_A * horner + TOK_FIN_B`` mod 2^64, base ``KR_BASE``) of
     every ASCII-whitespace-separated token OCCURRENCE of the lower-cased
     text, in document order (multiplicity preserved -- simhash weights
-    by occurrence). The delimiter class [ \\t\\n\\x0b\\f\\r] is exactly
+    by occurrence; see ``TOK_FIN_A`` for why the finalizer exists). The delimiter class [ \\t\\n\\x0b\\f\\r] is exactly
     Java's ``\\s`` (simhash's JVM flavors split on ``\\s+``) and RE2's
     ``\\s`` (the DuckDB oracle's ``regexp_split_to_array``).
 
@@ -207,6 +221,8 @@ def batch_token_hash_segments(texts):
                 hashes[s:e] = (vals * powers[None, :]).sum(
                     axis=1, dtype=np.uint64
                 )
+    with np.errstate(over="ignore"):
+        hashes = hashes * np.uint64(TOK_FIN_A) + np.uint64(TOK_FIN_B)
     tok_owner = np.searchsorted(starts, tok_a, side="right") - 1
     np.cumsum(np.bincount(tok_owner, minlength=lens.size), out=offsets[1:])
     return hashes, offsets

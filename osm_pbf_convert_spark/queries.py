@@ -1420,7 +1420,9 @@ def q_simhash_rolling(spark, sf_dir):
 
 
 def _simhash_rolling_oracle() -> str:
-    from osm_pbf_convert_spark.operators.rolling import KR_BASE
+    from osm_pbf_convert_spark.operators.rolling import (
+        KR_BASE, TOK_FIN_A, TOK_FIN_B,
+    )
 
     bit_sums = ",\n         ".join(
         f"SUM(CASE WHEN (h // {1 << i}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -1438,11 +1440,19 @@ WITH tok AS (
          unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
   FROM documents
 ),
-th AS (
+th0 AS (
   SELECT doc_id,
          list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT),
-                     (a, x) -> (a * {KR_BASE} + x) % 18446744073709551616::HUGEINT) AS h
+                     (a, x) -> (a * {KR_BASE} + x) % 18446744073709551616::HUGEINT) AS h0
   FROM tok
+),
+th AS (
+  -- affine finalizer (rolling.TOK_FIN_A/B): raw Horner of a short token
+  -- zeroes the high bits; same hi/lo mulmod split as the minhash family
+  SELECT doc_id,
+         ({_sql_mulmod(TOK_FIN_A, 'h0')} + {TOK_FIN_B}::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM th0
 ),
 sums AS (
   SELECT doc_id, {bit_sums}

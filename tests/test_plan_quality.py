@@ -282,7 +282,7 @@ class TestDriverContract:
         # the production rolling defaults must stay in the round-over-round
         # record alongside their md5 oracle pins (round-6 protocol)
         for n in ("fingerprint_rolling", "minhash_pairs_rolling",
-                  "ngram_lsh_rolling", "simhash_rolling"):
+                  "ngram_lsh_rolling", "simhash_rolling", "dedup_groups"):
             assert n in names, f"bench subset must carry {n}"
 
 

@@ -32,7 +32,7 @@ def ref_token_hashes(text: str) -> list[int]:
         h = 0
         for c in t:
             h = (h * rolling.KR_BASE + c) % rolling.MOD64
-        out.append(h)
+        out.append((h * rolling.TOK_FIN_A + rolling.TOK_FIN_B) % rolling.MOD64)
     return out
 
 
@@ -132,7 +132,8 @@ class TestTokenHashes:
         h = 0
         for _ in range(300000):
             h = (h * rolling.KR_BASE + 120) % rolling.MOD64
-        assert flat[0] == h and flat[1] == 120
+        fin = lambda x: (x * rolling.TOK_FIN_A + rolling.TOK_FIN_B) % rolling.MOD64
+        assert flat[0] == fin(h) and flat[1] == fin(120)
 
 
 class TestBitMajority:
