@@ -172,10 +172,10 @@ def batch_token_hash_segments(texts):
     ``\\s`` (the DuckDB oracle's ``regexp_split_to_array``).
 
     Vectorized end to end: token runs come from mask transitions on the
-    concatenated byte buffer, token hashes from a right-aligned gather
-    matrix whose leading zero-pad contributes nothing to the polynomial;
-    the gather is chunked so peak transient memory stays bounded by the
-    longest token, not the corpus."""
+    concatenated byte buffer; token hashes come from one dense gather per
+    token-LENGTH group (so total multiplies equal total token bytes --
+    no padding to the batch's longest token), chunked so peak transient
+    memory stays bounded."""
     raw = texts.fillna("").str.lower().str.encode("utf-8")
     lens = raw.str.len().to_numpy(np.int64)
     buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
@@ -202,25 +202,27 @@ def batch_token_hash_segments(texts):
     t = tok_a.size
     hashes = np.zeros(t, dtype=np.uint64)
     if t:
-        M = int(tlens.max())
-        powers = np.array([pow(KR_BASE, M - 1 - j, MOD64) for j in range(M)],
-                          dtype=np.uint64)
-        # right-aligned gather: token j of length L occupies columns
-        # M-L..M-1, so column c carries exponent M-1-c = L-1-(j within
-        # token); the zero pad in columns < M-L adds 0 to the polynomial
-        step = max(1, (1 << 21) // M)
-        for s in range(0, t, step):
-            e = min(s + step, t)
-            a, L = tok_a[s:e], tlens[s:e]
-            cols = np.arange(M, dtype=np.int64)[None, :]
-            idx = a[:, None] + (cols - (M - L[:, None]))
-            mask = cols >= (M - L[:, None])
-            vals = np.zeros((e - s, M), dtype=np.uint64)
-            vals[mask] = buf[idx[mask]]
-            with np.errstate(over="ignore"):
-                hashes[s:e] = (vals * powers[None, :]).sum(
-                    axis=1, dtype=np.uint64
-                )
+        # tokens grouped by LENGTH, one dense (count, L) gather per group:
+        # total multiplies = total token bytes (the padded single-matrix
+        # form paid t * max_len -- one URL-sized token in a batch made
+        # every token's row that wide); results scatter back to document
+        # order, chunked so peak transient stays bounded
+        order = np.argsort(tlens, kind="stable")
+        sl = tlens[order]
+        bounds = np.nonzero(np.diff(sl))[0] + 1
+        for grp in np.split(order, bounds):
+            L = int(tlens[grp[0]])
+            powers = np.array([pow(KR_BASE, L - 1 - j, MOD64) for j in range(L)],
+                              dtype=np.uint64)
+            cols = np.arange(L, dtype=np.int64)[None, :]
+            step = max(1, (1 << 21) // L)
+            for s in range(0, grp.size, step):
+                g = grp[s:s + step]
+                vals = buf[tok_a[g][:, None] + cols].astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    hashes[g] = (vals * powers[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
     with np.errstate(over="ignore"):
         hashes = hashes * np.uint64(TOK_FIN_A) + np.uint64(TOK_FIN_B)
     tok_owner = np.searchsorted(starts, tok_a, side="right") - 1
