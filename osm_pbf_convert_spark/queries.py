@@ -1377,6 +1377,40 @@ WHERE x.doc_id < y.doc_id
 """
 
 
+def q_minhash_pairs_stream(spark, sf_dir):
+    """The STREAMING dedup surface (streaming/dedup.py): stateful
+    per-(band, bucket) pair emission over a document stream, replayed
+    with availableNow into a memory sink. The distinct pair set equals
+    the batch rolling op's with the same parameters, so the entry
+    shares the `minhash_pairs_rolling` oracle -- a full rows+schema+
+    hash gate over a custom stateful streaming operator."""
+    import tempfile
+    import uuid
+
+    from osm_pbf_convert_spark.streaming.dedup import (
+        stream_documents, stream_minhash_pairs,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    work = tempfile.mkdtemp(prefix="mhp_stream_")
+    docs_dir = f"{work}/docs"
+    os.makedirs(docs_dir)
+    os.symlink(docs_path, f"{docs_dir}/documents.parquet")
+    name = f"mhp_stream_{uuid.uuid4().hex[:8]}"
+    sdf = stream_minhash_pairs(
+        stream_documents(spark, docs_dir, schema),
+        num_hashes=32, bands=8, shingle_k=5,
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ck").start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("a", "b").distinct()
+
+
 def q_ngram_lsh_rolling(spark, sf_dir):
     """The PRODUCTION ngram-LSH scale recipe end to end: rolling
     signatures + Horner band buckets + hash-set exact verify
@@ -2009,6 +2043,7 @@ QUERIES = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "fingerprint_rolling": q_fingerprint_rolling,
     "minhash_pairs_rolling": q_minhash_pairs_rolling,
+    "minhash_pairs_stream": q_minhash_pairs_stream,
     "ngram_lsh_rolling": q_ngram_lsh_rolling,
     "simhash_rolling": q_simhash_rolling,
     "dedup_groups": q_dedup_groups,
@@ -2066,6 +2101,7 @@ ORACLES = {
     "ngram_lsh_bucket_cap": _Q_NGRAM_LSH_CAP_ORACLE,
     "fingerprint_rolling": _fingerprint_rolling_oracle(),
     "minhash_pairs_rolling": _Q_MINHASH_ROLLING_ORACLE,
+    "minhash_pairs_stream": _Q_MINHASH_ROLLING_ORACLE,
     "ngram_lsh_rolling": _Q_NGRAM_LSH_ROLLING_ORACLE,
     "simhash_rolling": _simhash_rolling_oracle(),
     "dedup_groups": _Q_DEDUP_GROUPS_ORACLE,

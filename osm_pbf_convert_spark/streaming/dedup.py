@@ -1,0 +1,144 @@
+"""Streaming near-duplicate detection: the dedup family's stateful
+streaming surface.
+
+A training-data pipeline rarely gets its corpus as one batch -- crawls
+land continuously. This module turns the batch MinHash-LSH operator
+(operators/dedup.py, rolling flavor) into a Structured Streaming
+pipeline with the SAME pair semantics under ``availableNow`` replay:
+
+1. signatures + band buckets: the identical zero-shuffle Arrow pass as
+   batch (``_minhash_signatures_rolling`` -- ``mapInPandas`` is
+   stateless, so it lifts to streams unchanged);
+2. candidate pairs: ``applyInPandasWithState`` keyed by (band, bucket).
+   State per key = the doc ids seen in that bucket (packed int64
+   bytes); each arriving doc emits one pair against every doc already
+   in the bucket -- including earlier docs of the same micro-batch --
+   then joins the state. A near-dup pair is therefore emitted exactly
+   once PER SHARED BAND when its later member arrives.
+
+Cross-band multiplicity is deliberate: collapsing it would need a
+second stateful operator (pair-keyed dropDuplicates) downstream of
+``applyInPandasWithState``, a chain Structured Streaming does not
+support in one query -- so the operator contract is at-least-once pair
+emission (at most ``bands`` copies), with the exact-set edge at the
+sink: ``.distinct()`` on the materialized table (what the catalog
+entry does), a Delta/upsert merge, or an idempotent key-value write.
+
+Scale shape (100 TB): band-bucket state is hash-partitioned across
+executors by the state store on exactly the key the batch op shuffles
+on; per-key memory is 8 bytes/doc -- the same bucket occupancy the
+batch self-join materializes per task. The oversized-bucket guard
+mirrors the batch scale recipe's ``max_bucket_size``: a bucket past
+the cap stops emitting NEW pairs (the already-emitted prefix cannot be
+recalled from a stream; batch drops the whole bucket retroactively --
+both shed the quadratic boilerplate-bucket tail, and the oracled
+catalog entry runs uncapped where the semantics are identical).
+
+No reference counterpart (the reference has no streaming); same
+new-capability family as streaming/sessions.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+PAIR_SCHEMA = "a bigint, b bigint"
+STATE_SCHEMA = "ids binary"
+
+
+def _pair_fn(max_bucket_size: int | None):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        seen = (
+            np.frombuffer(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        chunks = [pdf["_id"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        new = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+        if not new.size:
+            return
+        out_a, out_b = [], []
+        n0 = seen.size
+        allids = np.concatenate([seen, new])
+        for j in range(new.size):
+            if max_bucket_size is not None and n0 + j >= max_bucket_size:
+                break
+            prior = allids[: n0 + j]
+            nid = allids[n0 + j]
+            if prior.size:
+                lo = np.minimum(prior, nid)
+                hi = np.maximum(prior, nid)
+                ne = lo != hi
+                out_a.append(lo[ne])
+                out_b.append(hi[ne])
+        state.update((allids.tobytes(),))
+        if out_a:
+            a = np.concatenate(out_a)
+            if a.size:
+                yield pd.DataFrame({"a": a, "b": np.concatenate(out_b)})
+
+    return fn
+
+
+def stream_minhash_pairs(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pair stream over a document stream; under
+    ``availableNow`` replay the DISTINCT output equals the batch
+    ``minhash_lsh_pairs(hash_fn="rolling")`` pair set with the same
+    parameters (pytest-enforced, single- and multi-micro-batch)."""
+    from osm_pbf_convert_spark.operators.dedup import _minhash_signatures_rolling
+
+    sig = _minhash_signatures_rolling(
+        stream_df.select(id_col, text_col), id_col, text_col,
+        num_hashes, shingle_k, bands=bands,
+    )
+    banded = sig.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.posexplode("bnds").alias("band", "bucket"),
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _pair_fn(max_bucket_size),
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_exact_dedup(stream_df: DataFrame, content_col: str = "text") -> DataFrame:
+    """First-seen survivor per exact content digest, stream-native:
+    ``dropDuplicates`` keeps one row per key with state-store-backed
+    exactly-once semantics. The batch twin (``dedup.exact_dedup``)
+    keeps the MIN id instead -- a stream cannot know the minimum before
+    the stream ends, so the streaming contract is one-per-group with
+    the group membership identical (pytest-enforced); add a watermark
+    upstream to bound state on unbounded streams."""
+    return stream_df.withColumn(
+        "_digest", F.md5(F.col(content_col).cast("binary"))
+    ).dropDuplicates(["_digest"]).drop("_digest")
+
+
+def stream_documents(spark: SparkSession, docs_dir: str, schema, **options) -> DataFrame:
+    """File-source document stream (pass ``maxFilesPerTrigger=1`` to
+    replay a multi-file corpus one micro-batch per file -- how the tests
+    exercise cross-batch state)."""
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(docs_dir)

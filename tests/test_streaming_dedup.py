@@ -1,0 +1,116 @@
+"""Streaming dedup: availableNow replay must reproduce the batch pair
+set, including pairs whose members arrive in DIFFERENT micro-batches
+(the stateful part), and the at-least-once contract must collapse to
+the exact set under a sink-side distinct."""
+
+import pytest
+
+from osm_pbf_convert_spark.operators import dedup
+from osm_pbf_convert_spark.streaming.dedup import (
+    stream_documents,
+    stream_exact_dedup,
+    stream_minhash_pairs,
+)
+
+PARAMS = dict(num_hashes=32, bands=8, shingle_k=5)
+
+
+def _materialize(spark, sf_dir, tmp_path, nfiles):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs")
+    docs.repartition(nfiles).write.parquet(out)
+    return out
+
+
+def _run_stream(spark, sdf, tmp_path, name, timeout=180):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+@pytest.mark.spark
+class TestStreamMinhashPairs:
+    def test_single_batch_equals_batch(self, spark, sf_dir, tmp_path):
+        path = _materialize(spark, sf_dir, tmp_path, 1)
+        docs = spark.read.parquet(path)
+        batch = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_pairs(docs, **PARAMS).collect()
+        }
+        assert batch, "corpus must carry planted near-dup pairs"
+        sdf = stream_minhash_pairs(
+            stream_documents(spark, path, docs.schema), **PARAMS
+        )
+        _run_stream(spark, sdf, tmp_path, "mhps_one")
+        got = spark.table("mhps_one")
+        got_set = {
+            (r["a"], r["b"]) for r in got.select("a", "b").distinct().collect()
+        }
+        assert got_set == batch
+        # at-least-once, at most one emission per shared band
+        assert got.count() <= len(batch) * PARAMS["bands"]
+
+    def test_cross_batch_state(self, spark, sf_dir, tmp_path):
+        """One file per micro-batch: pairs whose members land in different
+        micro-batches exist only if the bucket STATE carries earlier docs
+        forward -- equality with batch proves the stateful path."""
+        path = _materialize(spark, sf_dir, tmp_path, 4)
+        docs = spark.read.parquet(path)
+        batch = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_pairs(docs, **PARAMS).collect()
+        }
+        sdf = stream_minhash_pairs(
+            stream_documents(spark, path, docs.schema, maxFilesPerTrigger=1),
+            **PARAMS,
+        )
+        q = _run_stream(spark, sdf, tmp_path, "mhps_multi")
+        batches_run = max(
+            (p["batchId"] for p in (q.recentProgress or []) if "batchId" in p),
+            default=0,
+        )
+        assert batches_run >= 2, "replay must actually span micro-batches"
+        got_set = {
+            (r["a"], r["b"])
+            for r in spark.table("mhps_multi").select("a", "b").distinct().collect()
+        }
+        assert got_set == batch
+
+    def test_bucket_cap_stops_quadratic_tail(self, spark, sf_dir, tmp_path):
+        path = _materialize(spark, sf_dir, tmp_path, 1)
+        docs = spark.read.parquet(path)
+        sdf = stream_minhash_pairs(
+            stream_documents(spark, path, docs.schema),
+            max_bucket_size=2, **PARAMS,
+        )
+        _run_stream(spark, sdf, tmp_path, "mhps_cap")
+        capped = spark.table("mhps_cap").select("a", "b").distinct().count()
+        uncapped = dedup.minhash_lsh_pairs(docs, **PARAMS).count()
+        assert capped < uncapped  # the cap must actually shed pairs
+
+
+@pytest.mark.spark
+class TestStreamExactDedup:
+    def test_one_survivor_per_group(self, spark, sf_dir, tmp_path):
+        path = _materialize(spark, sf_dir, tmp_path, 2)
+        docs = spark.read.parquet(path)
+        sdf = stream_exact_dedup(
+            stream_documents(spark, path, docs.schema, maxFilesPerTrigger=1)
+        )
+        _run_stream(spark, sdf, tmp_path, "exact_stream")
+        kept = spark.table("exact_stream").toPandas()
+        src = docs.toPandas()
+        # exactly one survivor per distinct text, survivor from the group
+        groups = src.groupby("text")["doc_id"].agg(set)
+        assert len(kept) == len(groups)
+        by_text = kept.set_index("text")["doc_id"]
+        assert set(by_text.index) == set(groups.index)
+        for text, did in by_text.items():
+            assert did in groups[text]
