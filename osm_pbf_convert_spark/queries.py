@@ -1453,7 +1453,11 @@ def q_simhash_rolling(spark, sf_dir):
     )
 
 
-def _simhash_rolling_oracle() -> str:
+def _simhash_rolling_sig_cte() -> str:
+    """CTE chain replaying the PRODUCTION simhash signatures
+    (hash_fn='rolling'): Java-\\s tokens -> finalized Karp-Rabin Horner
+    token hash -> per-bit majority -> ``sig(doc_id, u HUGEINT unsigned,
+    simhash BIGINT signed)``; token-less docs get 0."""
     from osm_pbf_convert_spark.operators.rolling import (
         KR_BASE, TOK_FIN_A, TOK_FIN_B,
     )
@@ -1468,8 +1472,7 @@ def _simhash_rolling_oracle() -> str:
     )
     # RE2's \s EXCLUDES \x0b while Java's includes it: the explicit class
     # below is Java \s == Python bytes.split() == the numpy delimiter set
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS tok
   FROM documents
@@ -1492,9 +1495,72 @@ sums AS (
   SELECT doc_id, {bit_sums}
   FROM th GROUP BY doc_id
 ),
-sig0 AS (SELECT doc_id, ({assemble}) AS s FROM sums)
-SELECT d.doc_id, COALESCE({_SIGNED64.format(v='s.s')}, 0) AS simhash
-FROM documents d LEFT JOIN sig0 s USING (doc_id)
+sig0 AS (SELECT doc_id, ({assemble}) AS s FROM sums),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.s, 0::HUGEINT) AS u,
+         COALESCE({_SIGNED64.format(v='s.s')}, 0) AS simhash
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)"""
+
+
+def _simhash_rolling_oracle() -> str:
+    return f"""
+WITH {_simhash_rolling_sig_cte()}
+SELECT doc_id, simhash FROM sig
+"""
+
+
+def q_simhash_pairs_stream(spark, sf_dir):
+    """The VERIFIED streaming dedup surface (streaming/dedup.py):
+    applyInPandasWithState carries (id, signature) in the bucket state
+    and emits only popcount-verified pairs -- the stream's output is
+    final pairs, not candidates. availableNow replay; the oracle replays
+    the full production arithmetic (finalized rolling token hashes ->
+    bit majority -> pigeonhole bands -> bit_count verify) in DuckDB."""
+    import tempfile
+    import uuid
+
+    from osm_pbf_convert_spark.streaming.dedup import (
+        stream_documents, stream_simhash_pairs,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    work = tempfile.mkdtemp(prefix="shp_stream_")
+    docs_dir = f"{work}/docs"
+    os.makedirs(docs_dir)
+    os.symlink(docs_path, f"{docs_dir}/documents.parquet")
+    name = f"shp_stream_{uuid.uuid4().hex[:8]}"
+    sdf = stream_simhash_pairs(
+        stream_documents(spark, docs_dir, schema), max_hamming=8
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", f"{work}/ck").start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("a", "b", "hamming").distinct()
+
+
+def _simhash_pairs_stream_oracle() -> str:
+    # pigeonhole over the UNSIGNED signature: 9 bands x 7 bits (bits
+    # 0-62), literal power-of-two divisors -- exactly Spark's
+    # shiftrightunsigned(simhash, band*7) & 127
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band,"
+        f" (u // {1 << (7 * i)}::HUGEINT) % 128 AS chunk FROM sig"
+        for i in range(9)
+    )
+    return f"""
+WITH {_simhash_rolling_sig_cte()},
+banded AS (
+{union}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM banded x JOIN banded y USING (band, chunk)
+WHERE x.doc_id < y.doc_id AND bit_count(xor(x.simhash, y.simhash)) <= 8
 """
 
 
@@ -2044,6 +2110,7 @@ QUERIES = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "minhash_pairs_rolling": q_minhash_pairs_rolling,
     "minhash_pairs_stream": q_minhash_pairs_stream,
+    "simhash_pairs_stream": q_simhash_pairs_stream,
     "ngram_lsh_rolling": q_ngram_lsh_rolling,
     "simhash_rolling": q_simhash_rolling,
     "dedup_groups": q_dedup_groups,
@@ -2102,6 +2169,7 @@ ORACLES = {
     "fingerprint_rolling": _fingerprint_rolling_oracle(),
     "minhash_pairs_rolling": _Q_MINHASH_ROLLING_ORACLE,
     "minhash_pairs_stream": _Q_MINHASH_ROLLING_ORACLE,
+    "simhash_pairs_stream": _simhash_pairs_stream_oracle(),
     "ngram_lsh_rolling": _Q_NGRAM_LSH_ROLLING_ORACLE,
     "simhash_rolling": _simhash_rolling_oracle(),
     "dedup_groups": _Q_DEDUP_GROUPS_ORACLE,

@@ -121,6 +121,121 @@ def stream_minhash_pairs(
     )
 
 
+SIMHASH_PAIR_SCHEMA = "a bigint, b bigint, hamming int"
+
+
+def _popcount64(x):
+    import numpy as np
+
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(x.size, 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def _simhash_pair_fn(max_hamming: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        seen = (
+            np.frombuffer(state.get[0], dtype=np.int64).reshape(-1, 2)
+            if state.exists
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        chunks = [
+            np.column_stack(
+                [pdf["_id"].to_numpy(np.int64), pdf["simhash"].to_numpy(np.int64)]
+            )
+            for pdf in pdfs
+        ]
+        new = (
+            np.concatenate(chunks)
+            if chunks
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        if not new.size:
+            return
+        allrows = np.concatenate([seen, new])
+        n0 = seen.shape[0]
+        out = []
+        for j in range(new.shape[0]):
+            prior = allrows[: n0 + j]
+            if not prior.size:
+                continue
+            nid, nsig = allrows[n0 + j]
+            ham = _popcount64(np.bitwise_xor(prior[:, 1], nsig))
+            hit = (ham <= max_hamming) & (prior[:, 0] != nid)
+            if hit.any():
+                pid = prior[hit, 0]
+                out.append(
+                    np.column_stack(
+                        [
+                            np.minimum(pid, nid),
+                            np.maximum(pid, nid),
+                            ham[hit],
+                        ]
+                    )
+                )
+        state.update((allrows.tobytes(),))
+        if out:
+            m = np.concatenate(out)
+            yield pd.DataFrame(
+                {"a": m[:, 0], "b": m[:, 1], "hamming": m[:, 2].astype(np.int32)}
+            )
+
+    return fn
+
+
+def stream_simhash_pairs(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """VERIFIED near-dup pair stream: SimHash signatures (the rolling
+    zero-shuffle Arrow pass -- stateless, lifts to streams) -> pigeonhole
+    chunk banding -> stateful per-(band, chunk) emission where state
+    carries (id, signature) rows and only pairs with exact popcount
+    Hamming distance <= ``max_hamming`` are emitted. The stronger
+    streaming pattern vs ``stream_minhash_pairs``: verification happens
+    IN the stateful operator (the signature travels with the state), so
+    the stream emits final pairs, not candidates. Same at-least-once
+    contract across bands; distinct output under availableNow replay
+    equals batch ``simhash_hamming_pairs`` (pytest-enforced)."""
+    from osm_pbf_convert_spark.operators.dedup import simhash_signatures
+
+    bands = max_hamming + 1
+    width = 64 // bands
+    sig = simhash_signatures(stream_df, id_col, text_col)
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).cast("long").alias("_id"),
+        "simhash",
+        F.explode(chunk_arr).alias("c"),
+    ).select("_id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    return banded.groupBy("band", "chunk").applyInPandasWithState(
+        _simhash_pair_fn(max_hamming),
+        outputStructType=SIMHASH_PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_exact_dedup(stream_df: DataFrame, content_col: str = "text") -> DataFrame:
     """First-seen survivor per exact content digest, stream-native:
     ``dropDuplicates`` keeps one row per key with state-store-backed

@@ -10,6 +10,7 @@ from osm_pbf_convert_spark.streaming.dedup import (
     stream_documents,
     stream_exact_dedup,
     stream_minhash_pairs,
+    stream_simhash_pairs,
 )
 
 PARAMS = dict(num_hashes=32, bands=8, shingle_k=5)
@@ -94,6 +95,31 @@ class TestStreamMinhashPairs:
         capped = spark.table("mhps_cap").select("a", "b").distinct().count()
         uncapped = dedup.minhash_lsh_pairs(docs, **PARAMS).count()
         assert capped < uncapped  # the cap must actually shed pairs
+
+
+@pytest.mark.spark
+class TestStreamSimhashPairs:
+    def test_verified_pairs_equal_batch_cross_batch(self, spark, sf_dir, tmp_path):
+        """The stream emits VERIFIED (a, b, hamming) rows; the distinct
+        set must equal batch simhash_hamming_pairs (rolling default),
+        including pairs split across micro-batches."""
+        path = _materialize(spark, sf_dir, tmp_path, 3)
+        docs = spark.read.parquet(path)
+        batch = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_hamming_pairs(docs, max_hamming=8).collect()
+        }
+        assert batch, "corpus must carry simhash near-dups"
+        sdf = stream_simhash_pairs(
+            stream_documents(spark, path, docs.schema, maxFilesPerTrigger=1),
+            max_hamming=8,
+        )
+        _run_stream(spark, sdf, tmp_path, "shps")
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in spark.table("shps").distinct().collect()
+        }
+        assert got == batch
 
 
 @pytest.mark.spark
