@@ -51,12 +51,18 @@ PAIR_SCHEMA = "a bigint, b bigint"
 STATE_SCHEMA = "ids binary"
 
 
-def _pair_fn(max_bucket_size: int | None):
+def _pair_fn(max_bucket_size: int | None, state_ttl_ms: int | None = None):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if state.hasTimedOut:
+            # idle-bucket expiry (state_ttl): docs this old no longer pair
+            # with new arrivals -- the documented recall cut that bounds
+            # state on unbounded streams
+            state.remove()
+            return
         seen = (
             np.frombuffer(state.get[0], dtype=np.int64)
             if state.exists
@@ -81,6 +87,8 @@ def _pair_fn(max_bucket_size: int | None):
                 out_a.append(lo[ne])
                 out_b.append(hi[ne])
         state.update((allids.tobytes(),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:
             a = np.concatenate(out_a)
             if a.size:
@@ -97,11 +105,18 @@ def stream_minhash_pairs(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket_size: int | None = None,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pair stream over a document stream; under
     ``availableNow`` replay the DISTINCT output equals the batch
     ``minhash_lsh_pairs(hash_fn="rolling")`` pair set with the same
-    parameters (pytest-enforced, single- and multi-micro-batch)."""
+    parameters (pytest-enforced, single- and multi-micro-batch).
+
+    ``state_ttl_minutes`` bounds state on UNBOUNDED streams: a bucket
+    idle that long is dropped, so docs older than the TTL no longer
+    pair with new arrivals -- an explicit recall horizon (None keeps
+    exact whole-stream semantics; at 100 TB/day a horizon is how
+    production crawl dedup bounds memory)."""
     from osm_pbf_convert_spark.operators.dedup import _minhash_signatures_rolling
 
     sig = _minhash_signatures_rolling(
@@ -112,12 +127,17 @@ def stream_minhash_pairs(
         F.col(id_col).cast("long").alias("_id"),
         F.posexplode("bnds").alias("band", "bucket"),
     )
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _pair_fn(max_bucket_size),
+        _pair_fn(max_bucket_size, ttl_ms),
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -135,12 +155,15 @@ def _popcount64(x):
     )
 
 
-def _simhash_pair_fn(max_hamming: int):
+def _simhash_pair_fn(max_hamming: int, state_ttl_ms: int | None = None):
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         seen = (
             np.frombuffer(state.get[0], dtype=np.int64).reshape(-1, 2)
             if state.exists
@@ -181,6 +204,8 @@ def _simhash_pair_fn(max_hamming: int):
                     )
                 )
         state.update((allrows.tobytes(),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out:
             m = np.concatenate(out)
             yield pd.DataFrame(
@@ -195,6 +220,7 @@ def stream_simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """VERIFIED near-dup pair stream: SimHash signatures (the rolling
     zero-shuffle Arrow pass -- stateless, lifts to streams) -> pigeonhole
@@ -227,12 +253,17 @@ def stream_simhash_pairs(
         "simhash",
         F.explode(chunk_arr).alias("c"),
     ).select("_id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    ttl_ms = None if state_ttl_minutes is None else state_ttl_minutes * 60_000
     return banded.groupBy("band", "chunk").applyInPandasWithState(
-        _simhash_pair_fn(max_hamming),
+        _simhash_pair_fn(max_hamming, ttl_ms),
         outputStructType=SIMHASH_PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

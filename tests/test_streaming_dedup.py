@@ -84,6 +84,38 @@ class TestStreamMinhashPairs:
         }
         assert got_set == batch
 
+    def test_state_ttl_wiring(self, spark, sf_dir, tmp_path):
+        """A generous TTL must not change replay results (timeouts cannot
+        fire within a fast availableNow replay) -- exercises the
+        ProcessingTimeTimeout wiring, remove-on-timeout path excluded."""
+        path = _materialize(spark, sf_dir, tmp_path, 2)
+        docs = spark.read.parquet(path)
+        batch = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_pairs(docs, **PARAMS).collect()
+        }
+        sdf = stream_minhash_pairs(
+            stream_documents(spark, path, docs.schema, maxFilesPerTrigger=1),
+            state_ttl_minutes=60, **PARAMS,
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("mhps_ttl")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+            .start()
+        )
+        # ProcessingTimeTimeout keeps scheduling timer batches past the
+        # data batches (same caveat as the sessions test): wait, then stop
+        q.awaitTermination(30)
+        q.stop()
+        got = {
+            (r["a"], r["b"])
+            for r in spark.table("mhps_ttl").select("a", "b").distinct().collect()
+        }
+        assert got == batch
+
     def test_bucket_cap_stops_quadratic_tail(self, spark, sf_dir, tmp_path):
         path = _materialize(spark, sf_dir, tmp_path, 1)
         docs = spark.read.parquet(path)
