@@ -1377,38 +1377,68 @@ WHERE x.doc_id < y.doc_id
 """
 
 
-def q_minhash_pairs_stream(spark, sf_dir):
-    """The STREAMING dedup surface (streaming/dedup.py): stateful
-    per-(band, bucket) pair emission over a document stream, replayed
-    with availableNow into a memory sink. The distinct pair set equals
-    the batch rolling op's with the same parameters, so the entry
-    shares the `minhash_pairs_rolling` oracle -- a full rows+schema+
-    hash gate over a custom stateful streaming operator."""
+def _stream_docs_workspace(spark, sf_dir, prefix):
+    """(stream_df, workspace dir): symlink the docs parquet into a private
+    directory (the file source needs a directory basePath) and open it as
+    a stream."""
     import tempfile
-    import uuid
 
-    from osm_pbf_convert_spark.streaming.dedup import (
-        stream_documents, stream_minhash_pairs,
-    )
+    from osm_pbf_convert_spark.streaming.dedup import stream_documents
 
     docs_path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(docs_path).schema
-    work = tempfile.mkdtemp(prefix="mhp_stream_")
+    work = tempfile.mkdtemp(prefix=prefix)
     docs_dir = f"{work}/docs"
     os.makedirs(docs_dir)
     os.symlink(docs_path, f"{docs_dir}/documents.parquet")
-    name = f"mhp_stream_{uuid.uuid4().hex[:8]}"
-    sdf = stream_minhash_pairs(
-        stream_documents(spark, docs_dir, schema),
-        num_hashes=32, bands=8, shingle_k=5,
-    )
+    return stream_documents(spark, docs_dir, schema), work
+
+
+def _replay_to_memory(spark, sdf, work, name, timeout=300):
+    """availableNow replay into a memory sink under the PRODUCTION state
+    store (RocksDB -- streaming/dedup.py module docs): asserts the replay
+    actually finished (a silent partial read would surface as a spurious
+    oracle mismatch), stops the query, restores the provider conf, and
+    removes the checkpoint/symlink workspace. The memory sink's rows live
+    on the driver, so the returned table survives the cleanup."""
+    import shutil
+
+    from osm_pbf_convert_spark.streaming.dedup import configure_state_store
+
+    prev = configure_state_store(spark, "rocksdb")
     q = (
         sdf.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True)
         .option("checkpointLocation", f"{work}/ck").start()
     )
-    q.awaitTermination(300)
-    return spark.table(name).select("a", "b").distinct()
+    try:
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"stream {name} did not terminate within {timeout}s"
+            )
+    finally:
+        q.stop()
+        configure_state_store(spark, prev if prev is not None else "hdfs")
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name)
+
+
+def q_minhash_pairs_stream(spark, sf_dir):
+    """The STREAMING dedup surface (streaming/dedup.py): stateful
+    per-(band, bucket) pair emission over a document stream, replayed
+    with availableNow into a memory sink (RocksDB state store -- the
+    production provider). The distinct pair set equals the batch rolling
+    op's with the same parameters, so the entry shares the
+    `minhash_pairs_rolling` oracle -- a full rows+schema+hash gate over
+    a custom stateful streaming operator."""
+    import uuid
+
+    from osm_pbf_convert_spark.streaming.dedup import stream_minhash_pairs
+
+    stream_df, work = _stream_docs_workspace(spark, sf_dir, "mhp_stream_")
+    name = f"mhp_stream_{uuid.uuid4().hex[:8]}"
+    sdf = stream_minhash_pairs(stream_df, num_hashes=32, bands=8, shingle_k=5)
+    return _replay_to_memory(spark, sdf, work, name).select("a", "b").distinct()
 
 
 def q_ngram_lsh_rolling(spark, sf_dir):
@@ -1514,33 +1544,21 @@ def q_simhash_pairs_stream(spark, sf_dir):
     """The VERIFIED streaming dedup surface (streaming/dedup.py):
     applyInPandasWithState carries (id, signature) in the bucket state
     and emits only popcount-verified pairs -- the stream's output is
-    final pairs, not candidates. availableNow replay; the oracle replays
-    the full production arithmetic (finalized rolling token hashes ->
-    bit majority -> pigeonhole bands -> bit_count verify) in DuckDB."""
-    import tempfile
+    final pairs, not candidates. availableNow replay under the RocksDB
+    state store (the production provider); the oracle replays the full
+    production arithmetic (finalized rolling token hashes -> bit
+    majority -> pigeonhole bands -> bit_count verify) in DuckDB."""
     import uuid
 
-    from osm_pbf_convert_spark.streaming.dedup import (
-        stream_documents, stream_simhash_pairs,
-    )
+    from osm_pbf_convert_spark.streaming.dedup import stream_simhash_pairs
 
-    docs_path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(docs_path).schema
-    work = tempfile.mkdtemp(prefix="shp_stream_")
-    docs_dir = f"{work}/docs"
-    os.makedirs(docs_dir)
-    os.symlink(docs_path, f"{docs_dir}/documents.parquet")
+    stream_df, work = _stream_docs_workspace(spark, sf_dir, "shp_stream_")
     name = f"shp_stream_{uuid.uuid4().hex[:8]}"
-    sdf = stream_simhash_pairs(
-        stream_documents(spark, docs_dir, schema), max_hamming=8
+    sdf = stream_simhash_pairs(stream_df, max_hamming=8)
+    return (
+        _replay_to_memory(spark, sdf, work, name)
+        .select("a", "b", "hamming").distinct()
     )
-    q = (
-        sdf.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True)
-        .option("checkpointLocation", f"{work}/ck").start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name).select("a", "b", "hamming").distinct()
 
 
 def _simhash_pairs_stream_oracle() -> str:

@@ -29,10 +29,23 @@ executors by the state store on exactly the key the batch op shuffles
 on; per-key memory is 8 bytes/doc -- the same bucket occupancy the
 batch self-join materializes per task. The oversized-bucket guard
 mirrors the batch scale recipe's ``max_bucket_size``: a bucket past
-the cap stops emitting NEW pairs (the already-emitted prefix cannot be
-recalled from a stream; batch drops the whole bucket retroactively --
-both shed the quadratic boilerplate-bucket tail, and the oracled
-catalog entry runs uncapped where the semantics are identical).
+the cap stops emitting NEW pairs AND stops growing its state (the
+already-emitted prefix cannot be recalled from a stream; batch drops
+the whole bucket retroactively -- both shed the quadratic
+boilerplate-bucket tail, and the oracled catalog entry runs uncapped
+where the semantics are identical).
+
+State store provider: total state is linear in corpus x bands (8 B per
+(doc, band) slot -- 71.4 MB at 50k docs x 8 bands, measured), so at
+crawl scale it must NOT live on the executor heap. Production default
+for this surface is RocksDB (``configure_state_store``, or set
+``spark.sql.streaming.stateStore.providerClass`` to
+``ROCKSDB_PROVIDER`` before starting the query): state moves to native
+memory + local SSD with incremental checkpointing, and executor heap
+stays flat no matter how large the corpus grows. The default
+HDFSBackedStateStoreProvider keeps every key on-heap -- fine for tests,
+an OOM at 10^12 docs. Parity between the two providers is
+pytest-enforced and replayed at 10x (tools/stream_replay.py).
 
 No reference counterpart (the reference has no streaming); same
 new-capability family as streaming/sessions.py.
@@ -49,6 +62,31 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 PAIR_SCHEMA = "a bigint, b bigint"
 STATE_SCHEMA = "ids binary"
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def configure_state_store(spark: SparkSession, provider: str = "rocksdb") -> str | None:
+    """Point Structured Streaming state at RocksDB (``provider='rocksdb'``,
+    the production default for the dedup surface -- native memory + local
+    disk, bounded heap) or back at the on-heap default
+    (``provider='hdfs'``). Applies to queries STARTED after the call;
+    returns the previous conf value (None if unset) so callers can
+    restore it."""
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    if provider == "rocksdb":
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    elif provider == "hdfs":
+        spark.conf.unset(_PROVIDER_KEY)
+    else:
+        spark.conf.set(_PROVIDER_KEY, provider)
+    return prev
 
 
 def _pair_fn(max_bucket_size: int | None, state_ttl_ms: int | None = None):
@@ -86,6 +124,11 @@ def _pair_fn(max_bucket_size: int | None, state_ttl_ms: int | None = None):
                 ne = lo != hi
                 out_a.append(lo[ne])
                 out_b.append(hi[ne])
+        if max_bucket_size is not None and allids.size > max_bucket_size:
+            # ids past the cap can never emit (the loop above breaks at the
+            # cap), so storing them would grow hot-bucket state without
+            # bound -- truncate so state is capped at 8*max_bucket_size B
+            allids = allids[:max_bucket_size]
         state.update((allids.tobytes(),))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -119,6 +162,10 @@ def stream_minhash_pairs(
     production crawl dedup bounds memory)."""
     from osm_pbf_convert_spark.operators.dedup import _minhash_signatures_rolling
 
+    if num_hashes % bands != 0:
+        # mirror the batch operator: band_buckets would silently truncate
+        # the tail hashes and break the documented batch-parity contract
+        raise ValueError("bands must divide num_hashes")
     sig = _minhash_signatures_rolling(
         stream_df.select(id_col, text_col), id_col, text_col,
         num_hashes, shingle_k, bands=bands,

@@ -51,6 +51,43 @@ def test_expand_glob_local_and_remote(tmp_path):
     assert fsio.expand_glob(str(tmp_path / "k1.dat")) == [str(tmp_path / "k1.dat")]
 
 
+def test_glob_segment_semantics(tmp_path):
+    """`*` must stay within one path segment; `**` must recurse (ADVICE
+    r6: the recursive matcher shipped untested)."""
+    (tmp_path / "sub" / "deep").mkdir(parents=True)
+    for rel in ("a.pbf", "sub/b.pbf", "sub/deep/c.pbf", "sub/d.txt"):
+        (tmp_path / rel).write_bytes(b"x")
+
+    def names(pat):
+        return [p.split(str(tmp_path) + "/", 1)[1] for p in fsio.expand_glob(pat)]
+
+    def remote_names(pat):
+        base = fsio.mock_uri(str(tmp_path))
+        return [p.split("/", 3)[-1].split(str(tmp_path).lstrip("/") + "/", 1)[1]
+                for p in fsio.expand_glob(base + "/" + pat)]
+
+    # dir/*.pbf must NOT match dir/sub/x.pbf on either branch
+    assert names(str(tmp_path / "*.pbf")) == ["a.pbf"]
+    assert remote_names("*.pbf") == ["a.pbf"]
+    # dir/**/*.pbf must match all depths on the remote branch (the local
+    # branch delegates to glob.glob, which needs recursive=True for `**`
+    # -- remote is the branch _match_glob serves)
+    assert remote_names("**/*.pbf") == ["a.pbf", "sub/b.pbf", "sub/deep/c.pbf"]
+    # single-level wildcard dir
+    assert remote_names("*/*.pbf") == ["sub/b.pbf"]
+    # `?` stays within a segment too
+    assert remote_names("?.pbf") == ["a.pbf"]
+
+
+def test_match_glob_unit():
+    assert fsio._match_glob("d/a.pbf", "d/*.pbf")
+    assert not fsio._match_glob("d/s/a.pbf", "d/*.pbf")
+    assert fsio._match_glob("d/s/a.pbf", "d/**/*.pbf")
+    assert fsio._match_glob("d/a.pbf", "d/**/*.pbf")  # ** matches zero segs
+    assert fsio._match_glob("d/s/t/a.pbf", "d/**")
+    assert not fsio._match_glob("d/s/a.txt", "d/**/*.pbf")
+
+
 def test_missing_file_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         fsio.file_size(str(tmp_path / "absent.bin"))

@@ -128,6 +128,104 @@ class TestStreamMinhashPairs:
         uncapped = dedup.minhash_lsh_pairs(docs, **PARAMS).count()
         assert capped < uncapped  # the cap must actually shed pairs
 
+    def test_bands_must_divide_num_hashes(self, spark, sf_dir, tmp_path):
+        """Mirror of the batch operator's guard: rolling band_buckets
+        would silently truncate the tail hashes otherwise."""
+        path = _materialize(spark, sf_dir, tmp_path, 1)
+        docs = spark.read.parquet(path)
+        with pytest.raises(ValueError, match="bands must divide"):
+            stream_minhash_pairs(
+                stream_documents(spark, path, docs.schema),
+                num_hashes=32, bands=7,
+            )
+
+    def test_rocksdb_provider_parity(self, spark, sf_dir, tmp_path):
+        """The production state store (RocksDB) must yield the exact same
+        pair set as the on-heap default across micro-batches."""
+        from osm_pbf_convert_spark.streaming.dedup import configure_state_store
+
+        path = _materialize(spark, sf_dir, tmp_path, 3)
+        docs = spark.read.parquet(path)
+        batch = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_pairs(docs, **PARAMS).collect()
+        }
+        prev = configure_state_store(spark, "rocksdb")
+        try:
+            sdf = stream_minhash_pairs(
+                stream_documents(spark, path, docs.schema, maxFilesPerTrigger=1),
+                **PARAMS,
+            )
+            _run_stream(spark, sdf, tmp_path, "mhps_rocks")
+        finally:
+            configure_state_store(spark, prev if prev is not None else "hdfs")
+        got = {
+            (r["a"], r["b"])
+            for r in spark.table("mhps_rocks").select("a", "b").distinct().collect()
+        }
+        assert got == batch
+
+
+class TestPairFnState:
+    """Direct unit tests of the stateful kernel with a fake GroupState --
+    the state-size contract is not observable through the pair output."""
+
+    class _FakeState:
+        def __init__(self):
+            self._val = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._val is not None
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self._val = v
+
+        def remove(self):
+            self._val = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def test_capped_bucket_state_stops_growing(self):
+        """ADVICE r6: ids past the cap can never emit pairs, so appending
+        them to state would grow hot buckets without bound."""
+        import numpy as np
+        import pandas as pd
+
+        from osm_pbf_convert_spark.streaming.dedup import _pair_fn
+
+        fn = _pair_fn(max_bucket_size=3)
+        state = self._FakeState()
+        for batch in ([1, 2], [3, 4, 5], [6]):
+            list(fn(None, iter([pd.DataFrame({"_id": batch})]), state))
+            stored = np.frombuffer(state.get[0], dtype=np.int64)
+            assert stored.size <= 3, "state must be truncated at the cap"
+        assert list(np.frombuffer(state.get[0], dtype=np.int64)) == [1, 2, 3]
+
+    def test_uncapped_state_and_pairs(self):
+        import numpy as np
+        import pandas as pd
+
+        from osm_pbf_convert_spark.streaming.dedup import _pair_fn
+
+        fn = _pair_fn(max_bucket_size=None)
+        state = self._FakeState()
+        out1 = list(fn(None, iter([pd.DataFrame({"_id": [1, 2]})]), state))
+        out2 = list(fn(None, iter([pd.DataFrame({"_id": [3]})]), state))
+        pairs = {
+            (a, b)
+            for df in out1 + out2
+            for a, b in zip(df["a"], df["b"])
+        }
+        assert pairs == {(1, 2), (1, 3), (2, 3)}
+        assert list(np.frombuffer(state.get[0], dtype=np.int64)) == [1, 2, 3]
+
 
 @pytest.mark.spark
 class TestStreamSimhashPairs:
