@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -633,6 +634,68 @@ def simhash_dedup_groups(
     )
 
 
+def _hyperplane_sign_matrix(spark, planes: int, dim: int, seed: int) -> list:
+    """The xxhash64-derived +-1.0 normals as a literal matrix: evaluated
+    IN Spark with the exact expression the pre-round-7 Catalyst path used
+    (``pmod(xxhash64(seed, plane, dim_index), 2)`` over INT inputs), so
+    production bucket assignment is unchanged. planes x dim values -- a
+    bounded driver collect (16 x 64 = 1 KB at the defaults), same class
+    as similarity.py's centroid sample."""
+    rows = (
+        spark.range(dim)
+        .select(
+            F.col("id").cast("int").alias("d"),
+            *[
+                (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.col("id").cast("int")), F.lit(2)) == 1)
+                .alias(f"p{p}")
+                for p in range(planes)
+            ],
+        )
+        .orderBy("d")
+        .collect()
+    )
+    return [
+        [1.0 if r[f"p{p}"] else -1.0 for r in rows] for p in range(planes)
+    ]
+
+
+def _assign_hyperplane_buckets(
+    df: DataFrame, id_col: str, vec_col: str, signs: list
+) -> DataFrame:
+    """(id, vec, bucket) via one Arrow pass: all plane dots per batch,
+    accumulated dimension-by-dimension so each row's float64 sum order is
+    the sequential left fold (bit-identical to the Catalyst/DuckDB
+    replays). Zero shuffle -- a map-only stage like rolling.py's."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.asarray(signs, dtype=np.float64)  # planes x dim
+    planes = S.shape[0]
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy())  # n x dim float64
+            n, d = V.shape
+            k = min(d, S.shape[1])  # zip_with semantics: shorter side wins
+            acc = np.zeros((n, planes), dtype=np.float64)
+            for j in range(k):
+                # SEQUENTIAL over dims: ((0 + v0*s0) + v1*s1) + ...
+                acc += V[:, j, None] * S[None, :, j]
+            bucket = ((acc > 0.0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "bucket": bucket}
+            )
+
+    in_schema = df.select(id_col, vec_col).schema
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField("bucket", T.LongType())]
+    )
+    return df.select(id_col, vec_col).mapInPandas(fn, schema=out_schema)
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, planes: int = 16, seed: int = 42,
@@ -651,45 +714,26 @@ def embedding_neardup_pairs(
     DuckDB-replayable oracle variant (literal signs make bucket
     assignment a plain +- sum both engines evaluate in the same float64
     order); `planes`/`seed` are ignored when given.
+
+    Bucket assignment is ONE Arrow ``mapInPandas`` pass computing all
+    plane dots per batch (round-7 rework; the previous per-plane Catalyst
+    ``aggregate``/``zip_with`` chains evaluated planes x dim expression
+    nodes per row). The accumulation loops over dimensions SEQUENTIALLY
+    (``acc += V[:, j] * s[j]``), so every float64 add happens in the same
+    left-to-right order as the old Catalyst fold and as DuckDB's ``+``
+    chain -- bucket bits are bit-identical across all three
+    (pytest-pinned). Embeddings must be fixed-dimension (they are by the
+    table contract).
     """
     # all arithmetic in float64: float32 inputs are widened BEFORE any
     # multiply, so products/sums round identically in Spark and DuckDB
     df = df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
     if hyperplanes is not None:
-        def plane_bit(p):
-            signs = F.array(*[F.lit(float(s)) for s in hyperplanes[p]])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), signs, lambda v, s: v * s),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
-            )
-
-        planes = len(hyperplanes)
+        signs = [[float(s) for s in row] for row in hyperplanes]
     else:
-        dim = F.size(F.col(vec_col))
-        # pseudo-random +-1 hyperplanes: sign(xxhash64(plane, dim_index, seed))
-        def plane_bit(p):
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda v, i: v * F.when(
-                        F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 1, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            return F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-
-    bucket = None
-    for p in range(planes):
-        b = plane_bit(p)
-        bucket = b if bucket is None else bucket.bitwiseOR(b)
-    withb = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+        dim = df.select(F.size(vec_col)).first()[0]  # one-row driver probe
+        signs = _hyperplane_sign_matrix(df.sparkSession, planes, dim, seed)
+    withb = _assign_hyperplane_buckets(df, id_col, vec_col, signs)
     a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b_ = withb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     # merge hint: corpus-sized self-join carrying full embedding vectors

@@ -244,6 +244,62 @@ class TestDedup:
         got = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
         assert (1, 2) in got and (1, 3) not in got
 
+    def _catalyst_buckets(self, df, signs):
+        """The pre-round-7 per-plane Catalyst aggregate chain, kept here
+        as the parity reference for the Arrow bucketing pass."""
+        df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        bucket = None
+        for p, plane in enumerate(signs):
+            sc = F.array(*[F.lit(float(s)) for s in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), sc, lambda v, s: v * s),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            b = F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long"))
+            bucket = b if bucket is None else bucket.bitwiseOR(b)
+        return df.select("vec_id", bucket.alias("bucket")).toPandas()
+
+    def test_arrow_buckets_match_catalyst_fold(self, spark):
+        """The mapInPandas bucketing must reproduce the sequential-fold
+        Catalyst buckets BIT-IDENTICALLY -- including vectors engineered
+        to put plane dots within one ulp of zero, where any summation
+        reorder would flip a bit."""
+        rng = np.random.default_rng(7)
+        dim, planes, n = 16, 12, 400
+        signs = (rng.integers(0, 2, size=(planes, dim)) * 2.0 - 1.0).tolist()
+        vecs = rng.normal(size=(n, dim))
+        # adversarial rows: dot within float64 rounding of zero for plane 0
+        s0 = np.asarray(signs[0])
+        for i in range(0, 40):
+            v = rng.normal(size=dim)
+            v -= s0 * (v @ s0) / dim  # orthogonalize against plane 0
+            vecs[i] = v + rng.normal(scale=1e-16, size=dim)
+        rows = [(int(i), vecs[i].tolist()) for i in range(n)]
+        df = spark.createDataFrame(rows, schema="vec_id bigint, embedding array<double>")
+        want = self._catalyst_buckets(df, signs).set_index("vec_id")["bucket"]
+        got = (
+            dedup._assign_hyperplane_buckets(
+                df.withColumn("embedding", F.col("embedding").cast("array<double>")),
+                "vec_id", "embedding", signs,
+            ).toPandas().set_index("vec_id")["bucket"]
+        )
+        assert (got.sort_index() == want.sort_index()).all()
+
+    def test_xxhash_sign_matrix_matches_expression(self, spark):
+        """The literalized xxhash64 normals must equal the per-row
+        expression the old path evaluated (same INT input types)."""
+        dim, planes, seed = 16, 8, 42
+        signs = dedup._hyperplane_sign_matrix(spark, planes, dim, seed)
+        expr = spark.range(dim).select(
+            F.col("id").cast("int").alias("d"),
+            *[(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.col("id").cast("int")),
+                      F.lit(2)) == 1).alias(f"p{p}") for p in range(planes)],
+        ).orderBy("d").collect()
+        for p in range(planes):
+            want = [1.0 if r[f"p{p}"] else -1.0 for r in expr]
+            assert signs[p] == want
+
 
 @pytest.mark.spark
 class TestText:
