@@ -49,35 +49,48 @@ def tile_counts(nodes: DataFrame, z: int) -> DataFrame:
 
 
 def tile_pyramid(nodes: DataFrame, max_z: int = 15, min_z: int = 0) -> DataFrame:
-    """(z, tile, cnt) for all zooms in [min_z, max_z] in ONE aggregation.
+    """(z, tile, cnt) for all zooms in [min_z, max_z], rolled up from the
+    finest zoom.
 
-    GROUPING SETS over the per-zoom tile prefixes: Catalyst plans a single
-    Expand + partial/final hash aggregate -- one input scan, one shuffle of
-    partially-aggregated tile counts, no union branches that would
-    re-aggregate the input and no persisted intermediates. The Expand
-    multiplies rows by the level count BEFORE partial aggregation, which
-    map-side-collapses to per-partition distinct tiles -- shuffle volume is
-    bounded by tiles-per-partition x levels, not input rows.
+    Round-7 rework (previously GROUPING SETS): the old plan's Expand
+    multiplied every INPUT row by the level count before the partial
+    aggregate -- 16x the node rows flowing into hash aggregation, the
+    single most expensive e2e stage at bench scale and 16x wasted work at
+    100 TB node counts. Now the input is aggregated ONCE at ``max_z``
+    (plain groupBy -- map-side combine, one shuffle of per-partition
+    distinct finest tiles), and every coarser zoom is derived by
+    truncating the finest tile's Morton prefix (``tile_z >> 2*(max_z-z)``)
+    and re-aggregating the FINEST COUNTS -- the Expand now multiplies the
+    (much smaller) finest aggregate, not the input. One input scan for
+    all 16 levels (plan-pinned); the second shuffle carries levels x
+    finest-tile partials, bounded by the pyramid size, never by input
+    rows.
 
-    (min_z == 0 is served from the z-1 rollup driver-side-free: tile 0 at
-    z=0 is the global count, still part of the same grouping sets.)
+    (min_z == 0 still yields tile 0 = global count, from the same rollup.)
     """
     if not 0 <= min_z <= max_z <= 15:
         raise ValueError("need 0 <= min_z <= max_z <= 15")
     zooms = list(range(min_z, max_z + 1))
     cell = morton_cell_col(F.col("ilat"), F.col("ilon"))
-    pre = nodes.select(*[tile_col(cell, z).alias(f"t{z}") for z in zooms])
-    gs = pre.groupingSets(
-        [[f"t{z}"] for z in zooms], *[F.col(f"t{z}") for z in zooms]
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    # exactly one t{z} is non-null per output row (single-column sets; tile
-    # ids themselves are never null)
-    tile = F.coalesce(*[F.col(f"t{z}") for z in zooms])
-    zcol = None
-    for z in zooms:
-        branch = F.when(F.col(f"t{z}").isNotNull(), z)
-        zcol = branch if zcol is None else zcol.when(F.col(f"t{z}").isNotNull(), z)
-    return gs.select(zcol.alias("z"), tile.alias("tile"), "cnt")
+    finest = nodes.groupBy(tile_col(cell, max_z).alias("t")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    levels = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(z).alias("z"),
+                    F.shiftrightunsigned(F.col("t"), 2 * (max_z - z)).alias("tile"),
+                )
+                for z in zooms
+            ]
+        )
+    )
+    return (
+        finest.select(levels.alias("e"), "cnt")
+        .groupBy(F.col("e.z").alias("z"), F.col("e.tile").alias("tile"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def rasterize_tiles(tile_df: DataFrame, z: int) -> DataFrame:

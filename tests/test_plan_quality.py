@@ -23,8 +23,11 @@ class TestNoSlowPath:
         - tiling.read_heat_map_file pass-1: ONE (start, n_vals) row per
           byte split -- the varint-count prefix sum that turns byte
           offsets into cell offsets, the same pattern as Spark's own
-          text-source line-offset scan."""
-        collect_allowed = {"rel_store.py": 1, "tiling.py": 1}
+          text-source line-offset scan;
+        - dedup._hyperplane_sign_matrix: planes x dim +-1 normals
+          (~1 KB at the defaults), literalized once for the Arrow
+          bucketing pass."""
+        collect_allowed = {"rel_store.py": 1, "tiling.py": 1, "dedup.py": 1}
         bad = []
         for root, _, files in os.walk(PKG):
             for fn in files:
@@ -139,18 +142,26 @@ class TestPlanShape:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "FlatMapGroupsInPandas" in plan
 
-    def test_pyramid_single_scan_single_shuffle(self, spark, sf_dir):
-        """tile_pyramid is one Expand + one aggregate: a single input scan
-        and a single shuffle for ALL zoom levels -- no union branches."""
+    def test_pyramid_single_scan_rollup_from_finest(self, spark, sf_dir):
+        """tile_pyramid scans the input ONCE, aggregates at the finest
+        zoom, and rolls coarser levels up from that aggregate: the level
+        fan-out (Generate/explode) sits ABOVE the finest-zoom aggregate,
+        never above the input -- no union branches re-reading the input."""
         from osm_pbf_convert_spark import queries as Q
 
         df = Q.q_tile_pyramid(spark, sf_dir)  # max_z=8, min_z=4 -> 5 levels
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Expand") == 1
         assert plan.count("Union") == 0
-        # one shuffle for the pyramid aggregate (+ one from the upstream
-        # distinct-pairs derivation of the test fixture)
-        assert plan.count("Exchange hashpartitioning") <= 2
+        # two aggregation shuffles (finest + rollup) + at most one from the
+        # upstream fixture derivation
+        assert plan.count("Exchange hashpartitioning") <= 3
+        # the explode runs on the finest AGGREGATE: at least one
+        # HashAggregate (the finest groupBy) must sit BELOW the Generate
+        # in the tree (printed after it)
+        gen = plan.index("Generate explode")
+        assert "HashAggregate" in plan[gen:], "fan-out must be above the finest aggregate"
+        # and the rollup aggregate sits above the Generate
+        assert "HashAggregate" in plan[:gen], "rollup aggregate missing above fan-out"
 
 
 @pytest.mark.spark
