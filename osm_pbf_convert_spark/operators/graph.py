@@ -16,10 +16,14 @@ standard shuffle-bounded CC for massive graphs:
   itself) to that minimum.
 
 Each operation is one groupBy + one join on the node id (two shuffles);
-the pair converges in O(log^2 n) rounds (in practice a handful -- near-dup
-components are shallow). This beats naive label propagation, whose round
-count follows the graph DIAMETER: a 1000-document chain of pairwise
-near-dups takes ~1000 propagation rounds but ~10 star rounds.
+the pair converges in O(log^2 n) rounds worst-case. Measured law on the
+adversarial path graph (tools/scale_rehearsal.py --cc-adversarial):
+round count ~= ceil(log2(diameter)) + 1 -- 18 rounds for a 100,000-edge
+chain, 23 rounds for a 4,000,000-edge chain (both measured) -- so the
+default ``max_iter=25`` covers any diameter up to ~2^23;
+near-dup components in practice are shallow (a handful of rounds). This
+beats naive label propagation, whose round count follows the diameter
+itself: the same 100k chain would need 100k propagation rounds.
 
 Scale notes (100 TB):
 - Edges are deduplicated every half-round, so the working set shrinks
@@ -99,6 +103,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 25,
     use_local_checkpoint: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Labels (id, component) for every node appearing in ``pairs``;
     component = the minimum node id of its connected component.
@@ -106,20 +111,40 @@ def connected_components(
     ``max_iter`` bounds the star rounds (O(log^2 n) needed; 25 covers any
     graph that fits in a cluster). Raises if not converged -- a silent
     partial labeling would merge dedup groups incorrectly.
+
+    ``stats``: pass a dict to receive {"rounds": star rounds executed,
+    "final_edges": fixpoint edge count} -- the adversarial-graph
+    rehearsal gates on the round count (tools/scale_rehearsal.py).
     """
-    edges = _canonical_edges(pairs, a_col, b_col)
-    edges = edges.localCheckpoint(eager=True) if use_local_checkpoint else edges.checkpoint(eager=True)
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # local: executor-storage blocks, zero write latency, but blocks
+        # stay pinned for the run -- at deep-graph round counts that
+        # evicted executors (measured, 20M edges x 23 rounds), which is
+        # why use_local_checkpoint=False + setCheckpointDir is the
+        # cluster deployment mode (measured equal wall at the adversarial
+        # rehearsal: an eager reliable checkpoint materializes once).
+        return (
+            df.localCheckpoint(eager=True)
+            if use_local_checkpoint
+            else df.checkpoint(eager=True)
+        )
+
+    edges = _ckpt(_canonical_edges(pairs, a_col, b_col))
     prev = _checksum(edges)
+    rounds = 0
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges))
-        nxt = nxt.localCheckpoint(eager=True) if use_local_checkpoint else nxt.checkpoint(eager=True)
+        nxt = _ckpt(_small_star(_large_star(edges)))
         cur = _checksum(nxt)
         edges = nxt
+        rounds += 1
         if cur == prev:
             break
         prev = cur
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["final_edges"] = prev[0]
     # fixpoint edges form stars: every non-root points at its component
     # minimum; roots (the minima) label themselves
     nonroot = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
@@ -130,14 +155,25 @@ def connected_components(
 
 
 def near_dup_groups(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", id_name: str = "doc_id"
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", id_name: str = "doc_id",
+    stats: dict | None = None, use_local_checkpoint: bool = True,
+    max_iter: int = 25,
 ) -> DataFrame:
     """(doc_id, component) labels over a near-dup pair stream -- the
     grouping step between pair emission (minhash/simhash/ngram/embedding
-    operators) and survivor selection."""
-    return connected_components(pairs, a_col, b_col).select(
-        F.col("id").alias(id_name), "component"
-    )
+    operators) and survivor selection.
+
+    ``use_local_checkpoint=False`` switches the per-round checkpoints to
+    the RELIABLE checkpoint dir (``spark.sparkContext.setCheckpointDir``
+    first): local checkpoints pin every round's edge set in executor
+    storage for the run's lifetime, which at deep-graph round counts
+    (log2(diameter) rounds x full edge set) evicts executors -- measured
+    at the 20M-edge adversarial rehearsal; disk checkpoints hold each
+    round on stable storage instead."""
+    return connected_components(
+        pairs, a_col, b_col, stats=stats,
+        use_local_checkpoint=use_local_checkpoint, max_iter=max_iter,
+    ).select(F.col("id").alias(id_name), "component")
 
 
 def dedup_survivors(

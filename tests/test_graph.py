@@ -77,6 +77,26 @@ def test_random_graph_matches_union_find(spark, seed):
     assert got == _union_find(edges)
 
 
+def test_broom_graph_rounds_follow_log_diameter(spark):
+    """The adversarial shape (long chain + hot-minimum star + hubs) must
+    converge in ~log2(diameter) rounds with every label == the hot min --
+    the small-scale twin of tools/scale_rehearsal.py --cc-adversarial."""
+    import math
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.scale_rehearsal import broom_graph
+
+    chain_n, leaf_n = 2000, 8000
+    edges = broom_graph(spark, chain_n, leaf_n, hub_every=100, hub_leaves=5)
+    n_edges = edges.count()
+    stats = {}
+    labels = connected_components(edges, stats=stats).toPandas()
+    assert len(labels) == n_edges + 1  # a tree
+    assert (labels["component"] == 0).all()
+    assert stats["rounds"] <= math.ceil(math.log2(chain_n)) + 3
+
+
 def test_max_iter_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):

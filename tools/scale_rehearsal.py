@@ -125,6 +125,88 @@ def measured(spark, name, df, results, mode="noop"):
     print(f"{name}: {results[name]}", flush=True)
 
 
+def broom_graph(spark, chain_n: int, leaf_n: int, hub_every: int = 1000,
+                hub_leaves: int = 50):
+    """The adversarial CC input: ONE component engineered against both
+    failure modes of alternating-star.
+
+    - a CHAIN 0-1-2-...-chain_n (diameter = chain_n: naive label
+      propagation would need chain_n rounds; alternating-star must
+      collapse it in O(log^2));
+    - leaf_n pendant LEAVES all attached to node 0 -- the hot MINIMUM:
+      one groupBy key and one join key carry leaf_n rows (the skew the
+      AQE skew-join conf must absorb);
+    - mid-chain HUBS: every hub_every-th chain node gets hub_leaves
+      pendant leaves -- the power-law middle of near-dup degree
+      distributions.
+
+    Built entirely from spark.range (no driver data); ids are arranged so
+    the true component minimum is 0 and every label is provably 0."""
+    from pyspark.sql import functions as F
+
+    chain = spark.range(chain_n).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    leaf_base = chain_n + 1
+    star = spark.range(leaf_n).select(
+        F.lit(0).cast("long").alias("a"), (F.col("id") + leaf_base).alias("b")
+    )
+    hub_base = leaf_base + leaf_n
+    n_hubs = chain_n // hub_every
+    hubs = spark.range(n_hubs * hub_leaves).select(
+        ((F.col("id") % n_hubs + 1) * hub_every).alias("a"),
+        (F.col("id") + hub_base).alias("b"),
+    )
+    return chain.unionByName(star).unionByName(hubs)
+
+
+def run_cc_adversarial(spark, results, chain_n, leaf_n, max_rounds):
+    """Measured worst-case CC row + hard gates: converges, round count
+    bounded, every label == 0 (single component, hot minimum correct)."""
+    from osm_pbf_convert_spark.operators.graph import near_dup_groups
+    from pyspark.sql import functions as F
+
+    edges = broom_graph(spark, chain_n, leaf_n)
+    n_edges = edges.count()
+    print(f"cc_adversarial input: {n_edges} edges (chain {chain_n}, "
+          f"hot-min leaves {leaf_n})", flush=True)
+    stats: dict = {}
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm/spark_graft")
+    labels_path = os.path.join(scratch, "cc_adversarial_labels")
+    # RELIABLE per-round checkpoints: at log2(diameter) rounds the local-
+    # checkpoint path pins every round's edge set in executor storage and
+    # evicts executors (measured: executor deaths at 20M edges x 23 rounds);
+    # this is exactly the cluster deployment mode graph.py documents.
+    spark.sparkContext.setCheckpointDir(os.path.join(scratch, "cc_ckpt"))
+    measured(
+        spark, "cc_adversarial",
+        lambda: near_dup_groups(
+            edges, stats=stats, use_local_checkpoint=False,
+            max_iter=max_rounds + 3,
+        ),
+        results, mode=labels_path,
+    )
+    labels = spark.read.parquet(labels_path)
+    n_nodes = n_edges + 1  # tree: |V| = |E| + 1
+    bad = labels.filter(F.col("component") != 0).count()
+    total = labels.count()
+    r = results["cc_adversarial"]
+    r["rounds"] = stats.get("rounds")
+    r["n_edges"] = n_edges
+    failures = []
+    if bad:
+        failures.append(f"cc_adversarial: {bad} labels != component minimum 0")
+    if total != n_nodes:
+        failures.append(f"cc_adversarial: {total} labels for {n_nodes} nodes")
+    if stats.get("rounds", 99) > max_rounds:
+        failures.append(
+            f"cc_adversarial: {stats['rounds']} star rounds > gate {max_rounds}"
+        )
+    print(f"cc_adversarial: rounds={stats.get('rounds')} labels={total} "
+          f"(expected {n_nodes}) wrong={bad}", flush=True)
+    return failures
+
+
 def replicate_documents(spark, sf_dir, replicate):
     """16 textually-distinct replicas: per-replica translate() keeps
     within-replica pair structure, kills cross-replica similarity."""
@@ -166,7 +248,34 @@ def main():
     # calibration (1024 MB at x16 = ~1.5x the known-good join_ways_nodes
     # disk spill of 626 MB); an explicit value overrides.
     ap.add_argument("--max-disk-spill-mb", type=float, default=None)
+    ap.add_argument("--cc-adversarial", action="store_true",
+                    help="run ONLY the worst-case connected-components "
+                         "rehearsal (broom graph: long chain + hot-minimum "
+                         "star + power-law hubs) with hard gates on round "
+                         "count, label correctness, and plan shape")
+    ap.add_argument("--chain-n", type=int, default=4_000_000)
+    ap.add_argument("--leaf-n", type=int, default=16_000_000)
+    # alternating-star collapses a path in ~log2(diameter) rounds (the
+    # measured law: 18 rounds at chain 100k = log2 + converge-detect), so
+    # the gate is diameter-relative; a fixed bound would either mask a
+    # regression at small chains or false-fail at big ones
+    ap.add_argument("--max-rounds", type=int, default=None,
+                    help="default ceil(log2(chain_n)) + 3")
     args = ap.parse_args()
+    if args.max_disk_spill_mb is None and args.cc_adversarial:
+        # CC-shaped budget: disk spill here is BALANCED external-sort
+        # spill (task histogram verified: ~90 MB per task, no straggler
+        # -- AQE splits the hot-minimum join partition), proportional to
+        # edges x rounds, not a plan bug. Measured 45.7 GB at the default
+        # 20.2M-edge broom x 23 rounds on 4x8GB executors; the gate is
+        # the linear formula at ~2x that, which still fails loudly on the
+        # quadratic classes (a hot-bucket cartesian spills orders of
+        # magnitude more).
+        import math
+
+        edges_est = args.chain_n + args.leaf_n + (args.chain_n // 1000) * 50
+        rounds_gate = args.max_rounds or (math.ceil(math.log2(args.chain_n)) + 3)
+        args.max_disk_spill_mb = 16.0 * edges_est / 2**20 * 8 * rounds_gate
     if args.max_disk_spill_mb is None:
         args.max_disk_spill_mb = 64.0 * args.replicate
 
@@ -228,6 +337,55 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     results: dict = {}
+
+    if args.cc_adversarial:
+        import math
+
+        max_rounds = (
+            args.max_rounds
+            if args.max_rounds is not None
+            else math.ceil(math.log2(args.chain_n)) + 3
+        )
+        cc_failures = run_cc_adversarial(
+            spark, results, args.chain_n, args.leaf_n, max_rounds
+        )
+        cc_failures += check_gates(results, args.max_disk_spill_mb)
+        r = results["cc_adversarial"]
+        out = {
+            "metric": "adversarial CC rehearsal (broom graph), executor mode",
+            "chain_n": args.chain_n,
+            "leaf_n": args.leaf_n,
+            "executors": args.executors,
+            **r,
+        }
+        print(json.dumps(out))
+        if not args.no_append:
+            with open(os.path.join(REPO, "BENCH", "NOTES.md"), "a") as f:
+                f.write(
+                    f"\n## Adversarial CC rehearsal: broom graph, "
+                    f"{args.executors} executor JVMs\n\n"
+                    f"Chain {args.chain_n:,} + hot-min star {args.leaf_n:,} "
+                    f"leaves + power-law hubs = {r['n_edges']:,} edges, ONE "
+                    f"component with minimum 0 and diameter {args.chain_n:,}. "
+                    f"Converged in **{r['rounds']} star rounds** "
+                    f"(gate <= {max_rounds} = ceil(log2(chain)) + 3; "
+                    f"alternating-star round count follows log2(diameter)), "
+                    f"wall {r['wall_s']} s, "
+                    f"shuffle W/R {r['shuffle_write_mb']}/"
+                    f"{r['shuffle_read_mb']} MB, spill "
+                    f"{r['mem_spill_mb']}/{r['disk_spill_mb']} MB, "
+                    f"cartesian={r['cartesian']}. Every label verified == 0 "
+                    f"(the hot minimum), label count == node count.\n"
+                )
+        spark.stop()
+        import shutil
+
+        shutil.rmtree(os.path.join(scratch, "cc_ckpt"), ignore_errors=True)
+        if cc_failures:
+            print("CC ADVERSARIAL GATES FAILED:\n  " + "\n  ".join(cc_failures))
+            sys.exit(1)
+        print("cc adversarial gates PASS")
+        return
 
     # ---- input: pages x16 (materialized once, fixed 128-file layout) ----
     pages_path = os.path.join(scratch, "pages", f"rehearsal_x{args.replicate}")
