@@ -341,22 +341,53 @@ def main():
         # mixing floor conditions). The reported number is the min over
         # both phases: the consecutive-warm floor, with the interleaved
         # passes as backup when contention lands on a query's solo block.
+        solo = {name: [] for name in subset}
         for name in subset:
             for _ in range(2):
                 t0 = time.time()
                 force(Q.QUERIES[name](spark, sf))
-                runs[name].append(time.time() - t0)
+                solo[name].append(time.time() - t0)
+        # `query_spread` (round-7 definition, fixed under THIS protocol):
+        # median over queries of (max-min)/min across the SOLO passes only.
+        # The interleaved passes are deliberately colder (round-robin defeats
+        # consecutive-execution JIT/cache warmth), so mixing them into the
+        # spread measures protocol shape, not instrument noise -- that is
+        # why r6 reported 0.429 vs r5's 0.154 on equally-stable numbers.
+        # Solo-floor repeatability is the quantity round-over-round deltas
+        # must clear. The companion instrument-health metric is
+        # `drift_flagged` below (tools/bench_compare.py attribution count
+        # vs the previous round's driver-recorded file).
         spreads = []
         for name in subset:
-            best = min(runs[name])
+            best = min(min(runs[name]), min(solo[name]))
             timings[name] = round(best, 3)
-            if best > 0:
-                spreads.append((max(runs[name]) - best) / best)
+            s_best = min(solo[name])
+            if s_best > 0:
+                spreads.append((max(solo[name]) - s_best) / s_best)
         timings_meta = {
             "query_iters": max(1, args.query_iters),
             "query_protocol": "interleaved+solo-min",
             "query_spread": round(statistics.median(spreads), 3) if spreads else None,
         }
+        try:
+            import glob
+
+            from tools.bench_compare import compare, queries_of
+
+            prev_files = sorted(
+                glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_r*.json")))
+            if prev_files:
+                prev = queries_of(prev_files[-1])
+                factor, rows = compare(prev, dict(timings), 0.10, 0.25)
+                timings_meta.update({
+                    "drift_vs": os.path.basename(prev_files[-1]),
+                    "drift_factor": round(factor, 3),
+                    "drift_flagged": sum(1 for r in rows if r[5]),
+                    "drift_compared": len(rows),
+                })
+        except Exception as exc:  # instrument metric must never fail the bench
+            timings_meta["drift_error"] = str(exc)[:120]
     else:
         timings_meta = {}
 
