@@ -70,17 +70,27 @@ def tile_pyramid(nodes: DataFrame, max_z: int = 15, min_z: int = 0) -> DataFrame
     """
     if not 0 <= min_z <= max_z <= 15:
         raise ValueError("need 0 <= min_z <= max_z <= 15")
-    zooms = list(range(min_z, max_z + 1))
     cell = morton_cell_col(F.col("ilat"), F.col("ilon"))
-    finest = nodes.groupBy(tile_col(cell, max_z).alias("t")).agg(
+    finest = nodes.groupBy(tile_col(cell, max_z).alias("tile")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    return pyramid_from_finest(finest, max_z, min_z)
+
+
+def pyramid_from_finest(finest: DataFrame, max_z: int, min_z: int = 0) -> DataFrame:
+    """(z, tile, cnt) for all zooms in [min_z, max_z], derived from a
+    finest-zoom aggregate ``(tile, cnt)`` at ``max_z`` by truncating the
+    Morton prefix and re-aggregating. Input is the (small) tile table, so
+    this is also the per-micro-batch rollup step of the streaming pipeline
+    (streaming/pipeline.py), where the finest counts are the running
+    stateful aggregate."""
+    zooms = list(range(min_z, max_z + 1))
     levels = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(z).alias("z"),
-                    F.shiftrightunsigned(F.col("t"), 2 * (max_z - z)).alias("tile"),
+                    F.shiftrightunsigned(F.col("tile"), 2 * (max_z - z)).alias("tile"),
                 )
                 for z in zooms
             ]

@@ -1,0 +1,157 @@
+"""Composed streaming pipeline (streaming/pipeline.py): one availableNow
+replay must reproduce the batch e2e exactly -- entities == batch decode,
+tiles == batch tile_pyramid, distinct dup pairs == batch LSH pairs -- and
+a re-run against the same checkpoint must process nothing new (the
+streaming flavor of the batch job's idempotent resume)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_convert_spark.operators import dedup
+from osm_pbf_convert_spark.operators.tiling import tile_pyramid
+from osm_pbf_convert_spark.sources.pages import synth_pages
+from osm_pbf_convert_spark.sources.pbf import decode_entities
+from osm_pbf_convert_spark.streaming.pipeline import run_streaming_pipeline
+
+LSH = dict(num_hashes=32, bands=8, shingle_k=5)
+MAX_Z = 8
+
+
+def _corpus(spark, sf_dir):
+    """Pages landing table: synth pages (real html payloads) plus one
+    page per document (empty payload, near-dup-planted text) so the
+    decode AND dedup stages both have work in one corpus."""
+    pages = synth_pages(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(b"").cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    return pages.select("url", "warc_ts", "html", "text", "lang").unionByName(docs)
+
+
+def _entity_checksum(ent):
+    return {
+        (r["kind"], r["n"], r["ids"])
+        for r in ent.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("id").cast("decimal(38,0)")).alias("ids"),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.spark
+class TestStreamPipeline:
+    @pytest.fixture(scope="class")
+    def run(self, spark, sf_dir, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("stream_pipe")
+        landing = str(tmp / "landing")
+        corpus = _corpus(spark, sf_dir)
+        corpus.repartition(3).write.parquet(landing)
+        out, ckpt = str(tmp / "out"), str(tmp / "ckpt")
+        summary = run_streaming_pipeline(
+            spark, out=out, checkpoint=ckpt, pages_dir=landing,
+            max_z=MAX_Z, lsh=LSH, timeout=300,
+            source_options={"maxFilesPerTrigger": 1},
+        )
+        return dict(summary=summary, landing=landing, out=out, ckpt=ckpt)
+
+    def test_spans_micro_batches(self, run):
+        offsets = os.listdir(os.path.join(run["ckpt"], "decode", "offsets"))
+        assert len([o for o in offsets if not o.endswith(".tmp")]) >= 3
+
+    def test_entities_equal_batch_decode(self, spark, run):
+        batch = decode_entities(
+            spark.read.parquet(run["landing"]), on_error="skip"
+        )
+        got = spark.read.parquet(f"{run['out']}/entities")
+        assert _entity_checksum(got) == _entity_checksum(batch)
+        assert run["summary"]["n_entities"] == batch.count()
+
+    def test_tiles_equal_batch_pyramid(self, spark, run):
+        batch_nodes = decode_entities(
+            spark.read.parquet(run["landing"]), on_error="skip"
+        ).filter(F.col("kind") == 0)
+        want = {
+            (r["z"], r["tile"], r["cnt"])
+            for r in tile_pyramid(batch_nodes, max_z=MAX_Z, min_z=0).collect()
+        }
+        got = {
+            (r["z"], r["tile"], r["cnt"])
+            for r in spark.read.parquet(f"{run['out']}/tiles").collect()
+        }
+        assert got == want
+        finest = {
+            (r["tile"], r["cnt"])
+            for r in spark.read.parquet(f"{run['out']}/tiles_finest").collect()
+        }
+        assert finest == {(t, c) for z, t, c in want if z == MAX_Z}
+
+    def test_dup_pairs_equal_batch_lsh(self, spark, run):
+        docs = spark.read.parquet(run["landing"]).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        ).filter(F.col("text").isNotNull())
+        want = {
+            (r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, **LSH).collect()
+        }
+        assert want, "corpus must carry planted near-dup pairs"
+        got = {
+            (r["a"], r["b"])
+            for r in spark.read.parquet(f"{run['out']}/dup_pairs")
+            .select("a", "b").distinct().collect()
+        }
+        assert got == want
+        assert run["summary"]["n_dup_pairs_distinct"] == len(want)
+
+    def test_rerun_is_idempotent(self, spark, run):
+        before = spark.read.parquet(f"{run['out']}/entities").count()
+        summary2 = run_streaming_pipeline(
+            spark, out=run["out"], checkpoint=run["ckpt"],
+            pages_dir=run["landing"], max_z=MAX_Z, lsh=LSH, timeout=300,
+        )
+        assert summary2["n_entities"] == before
+        assert spark.read.parquet(f"{run['out']}/entities").count() == before
+
+
+@pytest.mark.spark
+class TestStreamPipelineExtracts:
+    def test_extract_mode(self, spark, sf_dir, tmp_path):
+        """Watch-dir mode: an .osm.pbf drop decodes and tiles identically
+        to the batch reader; no dedup stage (extracts carry no text)."""
+        import shutil
+
+        from osm_pbf_convert_spark.queries import _pbf_file
+        from osm_pbf_convert_spark.sources.pbf_file import pbf_blob_frames
+
+        watch = tmp_path / "drops"
+        watch.mkdir()
+        src = _pbf_file(spark, sf_dir)
+        shutil.copy(src, watch / "extract.osm.pbf")
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        summary = run_streaming_pipeline(
+            spark, out=out, checkpoint=ckpt, watch_dir=str(watch),
+            max_z=MAX_Z, timeout=300,
+        )
+        assert summary["stages"] == ["decode", "tiles"]
+        batch = decode_entities(
+            pbf_blob_frames(spark, src).select("url", F.col("payload").alias("html"))
+        )
+        got = spark.read.parquet(f"{out}/entities")
+        assert _entity_checksum(got) == _entity_checksum(batch)
+        want = {
+            (r["z"], r["tile"], r["cnt"])
+            for r in tile_pyramid(
+                batch.filter(F.col("kind") == 0), max_z=MAX_Z, min_z=0
+            ).collect()
+        }
+        got_tiles = {
+            (r["z"], r["tile"], r["cnt"])
+            for r in spark.read.parquet(f"{out}/tiles").collect()
+        }
+        assert got_tiles == want
