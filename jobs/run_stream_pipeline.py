@@ -42,6 +42,11 @@ def main():
                     help="run on a processing-time trigger until interrupted "
                          "(default: one availableNow drain, then exit)")
     ap.add_argument("--trigger-seconds", type=int, default=30)
+    ap.add_argument("--dedup-bucket-cap", type=int, default=None,
+                    help="max_bucket_size for the stateful LSH stage: sheds "
+                         "the quadratic boilerplate-bucket tail on crawl "
+                         "corpora with templated text (recommended at scale; "
+                         "None = exact whole-corpus semantics)")
     ap.add_argument("--timeout", type=int, default=3600,
                     help="availableNow drain bound per stage, seconds")
     args = ap.parse_args()
@@ -64,6 +69,11 @@ def main():
         pages_dir=args.pages_stream,
         watch_dir=args.watch,
         max_z=args.max_zoom,
+        lsh=(
+            {"max_bucket_size": args.dedup_bucket_cap}
+            if args.dedup_bucket_cap
+            else None
+        ),
         available_now=not args.continuous,
         trigger_seconds=args.trigger_seconds,
         timeout=args.timeout,

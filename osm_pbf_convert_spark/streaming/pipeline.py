@@ -255,9 +255,13 @@ def run_streaming_pipeline(
         source = pbf_extract_stream(spark, watch_dir)
         payload_col = "payload"
 
+    import time
+
     prev_provider = configure_state_store(spark, "rocksdb")
+    stage_walls: dict[str, float] = {}
     try:
         queries = []
+        t0 = time.time()
         q1 = decode_query(
             source, out, checkpoint, payload_col=payload_col,
             available_now=available_now, trigger_seconds=trigger_seconds,
@@ -265,6 +269,8 @@ def run_streaming_pipeline(
         queries.append(("decode", q1))
         if available_now:
             _drain(q1, timeout, "decode")
+            stage_walls["decode"] = round(time.time() - t0, 1)
+        t0 = time.time()
         q2 = tile_rollup_query(
             spark, out, checkpoint, max_z=max_z, min_z=min_z,
             available_now=available_now, trigger_seconds=trigger_seconds,
@@ -272,8 +278,10 @@ def run_streaming_pipeline(
         queries.append(("tiles", q2))
         if available_now:
             _drain(q2, timeout, "tiles")
+            stage_walls["tiles"] = round(time.time() - t0, 1)
         q3 = None
         if pages_dir:
+            t0 = time.time()
             q3 = dedup_query(
                 source, out, checkpoint, **(lsh or {}),
                 available_now=available_now, trigger_seconds=trigger_seconds,
@@ -281,6 +289,7 @@ def run_streaming_pipeline(
             queries.append(("dedup", q3))
             if available_now:
                 _drain(q3, timeout, "dedup")
+                stage_walls["dedup"] = round(time.time() - t0, 1)
         if not available_now:
             # concurrent mode: queries are still running against the
             # RocksDB conf -- the caller owns lifecycle AND conf restore
@@ -294,7 +303,8 @@ def run_streaming_pipeline(
                     "spark.sql.streaming.stateStore.providerClass", prev_provider
                 )
 
-    summary = {"out": out, "stages": [n for n, _ in queries]}
+    summary = {"out": out, "stages": [n for n, _ in queries],
+               "stage_walls": stage_walls}
     try:
         summary["n_entities"] = spark.read.parquet(f"{out}/entities").count()
         summary["n_tile_rows"] = spark.read.parquet(f"{out}/tiles").count()
