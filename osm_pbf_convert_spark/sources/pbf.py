@@ -538,6 +538,64 @@ def decode_nodes(df: DataFrame, payload_col: str = "html", passthrough: tuple = 
     return in_df.mapInArrow(fn, out_schema)
 
 
+def decode_pages_geo(df: DataFrame, payload_col: str = "html", on_error: str = "raise", bad_counter=None) -> DataFrame:
+    """Page-local geo extent: every non-payload column passes through
+    (``text`` stays byte-identical per the north rule) plus
+    (n_geo, min_ilat, max_ilat, min_ilon, max_ilon) computed from the
+    page's OWN decoded nodes; pages with zero nodes are dropped (the
+    inner-join semantics of ``join_pages_geo``).
+
+    Row-for-row equal to ``join_pages_geo(pages, decode_nodes(pages))``
+    (pytest-pinned) but with ZERO shuffle: a page's nodes come only from
+    its own payload, so the per-url aggregate is batch-local arithmetic
+    inside the decode pass. That also makes it STATELESS and therefore
+    streaming-safe -- the streaming pipeline's pages_geo stage runs this
+    exact function where the batch pipeline joins against the
+    materialized entities table.
+    """
+    pcols = [c for c in df.columns if c != payload_col]
+    in_df = df.select(*pcols, payload_col)
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", n_geo bigint, min_ilat int, max_ilat int, min_ilon int, max_ilon int"
+    )
+
+    def fn(batches):
+        for batch in batches:
+            per_row: list[DecodedPayload] = [
+                _safe_parse(buf, ("nodes",), on_error, bad_counter)
+                for buf in _iter_binary(batch.column(payload_col))
+            ]
+            counts = np.fromiter(
+                (len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row)
+            )
+            keep = counts > 0
+            if not keep.any():
+                continue
+            n_geo, mn_la, mx_la, mn_lo, mx_lo = [], [], [], [], []
+            for p in (pr for pr, k in zip(per_row, keep) if k):
+                ila = quantize_np(p.nodes.lat)
+                ilo = quantize_np(p.nodes.lon)
+                n_geo.append(len(ila))
+                mn_la.append(ila.min())
+                mx_la.append(ila.max())
+                mn_lo.append(ilo.min())
+                mx_lo.append(ilo.max())
+            arrays = _passthrough_take(batch, pcols, keep.astype(np.int64))
+            arrays += [
+                pa.array(np.asarray(n_geo, np.int64), pa.int64()),
+                pa.array(np.asarray(mn_la, np.int32), pa.int32()),
+                pa.array(np.asarray(mx_la, np.int32), pa.int32()),
+                pa.array(np.asarray(mn_lo, np.int32), pa.int32()),
+                pa.array(np.asarray(mx_lo, np.int32), pa.int32()),
+            ]
+            names = pcols + ["n_geo", "min_ilat", "max_ilat", "min_ilon", "max_ilon"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return in_df.mapInArrow(fn, out_schema)
+
+
 def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
     """ONE decode pass over the payloads emitting every entity kind in a
     tall union schema: kind 0=node, 1=way, 2=relation; node columns null on

@@ -29,7 +29,12 @@ streaming sink's transaction log:
    retry contract still yields exactly-once table contents. With plain
    parquet the upsert rewrites the finest table (bounded by tile count);
    on a lakehouse deployment the same fn is one Delta/Iceberg MERGE.
-3. **dedup** (pages mode only -- extracts carry no text): page text ->
+3. **pages_geo** (pages mode only): each page's geo extent computed
+   PAGE-LOCALLY inside the decode pass (``decode_pages_geo`` -- a page's
+   nodes come only from its own payload, so the per-url aggregate needs
+   no shuffle and no state; the batch pipeline joins against the
+   materialized entities table instead, row-for-row equal by pytest).
+4. **dedup** (pages mode only -- extracts carry no text): page text ->
    ``stream_minhash_pairs`` (stateful LSH, RocksDB state store) ->
    append ``{out}/dup_pairs``. Pair emission is at-least-once per shared
    band (streaming/dedup.py contract); consumers take
@@ -169,6 +174,33 @@ def tile_rollup_query(
     return w.start()
 
 
+def pages_geo_query(
+    source: DataFrame,
+    out: str,
+    checkpoint: str,
+    available_now: bool = True,
+    trigger_seconds: int = 30,
+):
+    """Start the pages_geo query: page -> its own geo extent, ZERO
+    shuffle (``decode_pages_geo`` aggregates page-locally inside the
+    decode pass -- the streaming replacement for the batch pipeline's
+    join against the materialized entities table; text passes through
+    byte-identical)."""
+    from osm_pbf_convert_spark.sources.pbf import decode_pages_geo
+
+    geo = decode_pages_geo(source, payload_col="html", on_error="skip")
+    w = (
+        geo.writeStream.format("parquet")
+        .option("path", f"{out}/pages_geo")
+        .option("checkpointLocation", f"{checkpoint}/pages_geo")
+        .outputMode("append")
+    )
+    w = w.trigger(availableNow=True) if available_now else w.trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    return w.start()
+
+
 def dedup_query(
     source: DataFrame,
     out: str,
@@ -279,6 +311,16 @@ def run_streaming_pipeline(
         if available_now:
             _drain(q2, timeout, "tiles")
             stage_walls["tiles"] = round(time.time() - t0, 1)
+        if pages_dir:
+            t0 = time.time()
+            qg = pages_geo_query(
+                source, out, checkpoint,
+                available_now=available_now, trigger_seconds=trigger_seconds,
+            )
+            queries.append(("pages_geo", qg))
+            if available_now:
+                _drain(qg, timeout, "pages_geo")
+                stage_walls["pages_geo"] = round(time.time() - t0, 1)
         q3 = None
         if pages_dir:
             t0 = time.time()
@@ -312,6 +354,10 @@ def run_streaming_pipeline(
         summary["n_entities"] = 0
         summary["n_tile_rows"] = 0
     if pages_dir:
+        try:
+            summary["n_pages_geo"] = spark.read.parquet(f"{out}/pages_geo").count()
+        except Exception:
+            summary["n_pages_geo"] = 0
         try:
             summary["n_dup_pairs_distinct"] = (
                 spark.read.parquet(f"{out}/dup_pairs").select("a", "b").distinct().count()

@@ -93,6 +93,35 @@ class TestStreamPipeline:
         }
         assert finest == {(t, c) for z, t, c in want if z == MAX_Z}
 
+    def test_pages_geo_equals_batch_join(self, spark, run):
+        """The stateless page-local geo extent must equal the batch
+        join_pages_geo(pages, decode_nodes(pages)) rows exactly, text
+        byte-identical (compared via md5 on the common columns)."""
+        from osm_pbf_convert_spark.operators.joins import join_pages_geo
+        from osm_pbf_convert_spark.sources.pbf import decode_nodes
+
+        pages = spark.read.parquet(run["landing"])
+        cols = ["url", "warc_ts", "text", "lang",
+                "n_geo", "min_ilat", "max_ilat", "min_ilon", "max_ilon"]
+        want = {
+            tuple(r)
+            for r in join_pages_geo(
+                pages, decode_nodes(pages, on_error="skip")
+            )
+            .select(*cols[:2], F.md5(F.col("text").cast("binary")).alias("text"),
+                    *cols[3:])
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{run['out']}/pages_geo")
+            .select(*cols[:2], F.md5(F.col("text").cast("binary")).alias("text"),
+                    *cols[3:])
+            .collect()
+        }
+        assert got == want
+        assert run["summary"]["n_pages_geo"] == len(want)
+
     def test_dup_pairs_equal_batch_lsh(self, spark, run):
         docs = spark.read.parquet(run["landing"]).select(
             F.xxhash64("url").alias("doc_id"), "text"

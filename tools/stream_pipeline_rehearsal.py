@@ -147,6 +147,27 @@ def main():
     if got_tiles != want_tiles:
         failures.append(f"tiles checksum {got_tiles} != batch pyramid {want_tiles}")
 
+    from osm_pbf_convert_spark.operators.joins import join_pages_geo
+    from osm_pbf_convert_spark.sources.pbf import decode_nodes
+
+    def _geo_checksum(geo):
+        row = geo.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_geo").cast("decimal(38,0)")).alias("g"),
+            F.sum(
+                F.xxhash64("url", "min_ilat", "max_ilat", "min_ilon", "max_ilon")
+                .cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], str(row["g"]), str(row["h"]))
+
+    want_geo = _geo_checksum(
+        join_pages_geo(pages, decode_nodes(pages, on_error="skip"))
+    )
+    got_geo = _geo_checksum(spark.read.parquet(f"{out}/pages_geo"))
+    if got_geo != want_geo:
+        failures.append(f"pages_geo checksum {got_geo} != batch join {want_geo}")
+
     docs = pages.select(F.xxhash64("url").alias("doc_id"), "text").filter(
         F.col("text").isNotNull()
     )
@@ -182,9 +203,12 @@ def main():
                 f"decode -> tile rollup -> stateful dedup chain "
                 f"(jobs/run_stream_pipeline.py surface): wall {wall} s "
                 f"(decode {sw.get('decode')}, tiles {sw.get('tiles')}, "
-                f"dedup {sw.get('dedup')}); {result['n_entities']:,} entities "
+                f"pages_geo {sw.get('pages_geo')}, dedup {sw.get('dedup')}); "
+                f"{result['n_entities']:,} entities "
                 f"checksum-equal to batch decode, {result['n_tile_rows']:,} "
                 f"pyramid rows checksum-equal to batch tile_pyramid, "
+                f"{summary.get('n_pages_geo'):,} pages_geo rows checksum-equal "
+                f"to the batch join (zero-shuffle page-local aggregate), "
                 f"{result['distinct_pairs']:,} distinct dup pairs SET-equal to "
                 f"the batch LSH operator ({n_batch_pairs:,}; symmetric "
                 f"difference 0) across state spanning every micro-batch. "
