@@ -80,11 +80,22 @@ def minhash_signatures(
     Carter-Wegman universal hashing h_i = (a_i*x + b_i) mod (2^31-1) --
     textbook-valid for minhash, pure long arithmetic with no overflow
     under ANSI mode (a_i, x < 2^31), and replayed bit-identically in SQL.
-    Crucially the mins aggregate over LONGS: min(string) has no
-    fixed-width agg buffer and silently degrades HashAggregate to
-    SortAggregate (measured 3x slower at sf0.1)."""
+
+    Round 8: the md5 flavor is computed like the rolling one -- a
+    zero-shuffle Arrow pass (``operators/md5win.py``: numpy window
+    extraction, one ``hashlib.md5`` per globally unique window, vectorized
+    Carter-Wegman mins) replacing explode -> per-shingle md5 expression ->
+    groupBy with ``num_hashes`` min() aggregates. Same values bit-for-bit
+    (oracle-gated); ``hash_fn="md5_jvm"`` keeps the old expression chain
+    for A/B tests. Crucially the JVM flavors' mins aggregate over LONGS:
+    min(string) has no fixed-width agg buffer and silently degrades
+    HashAggregate to SortAggregate (measured 3x slower at sf0.1)."""
     if hash_fn == "rolling":
         return _minhash_signatures_rolling(df, id_col, text_col, num_hashes, shingle_k)
+    if hash_fn == "md5":
+        return _minhash_signatures_md5(df, id_col, text_col, num_hashes, shingle_k)
+    if hash_fn == "md5_jvm":
+        hash_fn = "md5"
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), shingle_k)).alias("sh")
     )
@@ -135,8 +146,10 @@ def _kr_hash_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
                 "shs": [u.astype(np.int64) for u in batch_window_hashes(pdf[text_col], k)],
             })
 
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
         batches, schema=f"{id_col} {id_type}, shs array<long>"
     )
 
@@ -189,11 +202,53 @@ def _minhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str,
                 )
             yield pd.DataFrame(out)
 
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, sig array<long>"
     if bands is not None:
         schema += ", bnds array<long>"
-    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def _minhash_signatures_md5(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int, shingle_k: int) -> DataFrame:
+    """The md5 oracle flavor as ONE zero-shuffle Arrow pass (round 8):
+    distinct k-char window md5 digests per doc (``md5win``), 60-bit base
+    hash x = first 15 hex chars, vectorized Carter-Wegman mins -- value-
+    identical to the old explode -> md5 expression -> groupBy(num_hashes
+    mins) chain, which shuffled every (doc, shingle) row. Docs with no
+    window emit NO row (parity with the explode, where empty-shingle docs
+    vanish). Input is fanned out first (``plans.partitioning.fan_out``):
+    the heavy per-row work must not run on one or two scan splits."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators import md5win
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    A = np.array([minhash_coeffs(i)[0] for i in range(num_hashes)], dtype=np.int64)
+    B = np.array([minhash_coeffs(i)[1] for i in range(num_hashes)], dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            digs, off = md5win.batch_window_md5_segments(pdf[text_col], shingle_k)
+            nonempty = np.nonzero(np.diff(off) > 0)[0]
+            if not nonempty.size:
+                continue
+            x = md5win.digests_to_x60(digs)
+            sig = md5win.segment_cw_min(x, off, A, B)[nonempty]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[nonempty],
+                "sig": list(sig),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, sig array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -233,7 +288,7 @@ def minhash_lsh_pairs(
         banded = sig.select(id_col, F.posexplode("bnds").alias("band", "bucket"))
         return _bucket_join_pairs(banded, id_col, max_bucket_size)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
-    if hash_fn == "md5":
+    if hash_fn in ("md5", "md5_jvm"):
         # bucket = the band's hash values joined as a string -- band id is
         # already a separate join column, so no re-hash is needed (and
         # DuckDB replays string concatenation exactly)
@@ -443,6 +498,39 @@ def _simhash_signatures_rolling(df: DataFrame, id_col: str, text_col: str) -> Da
     )
 
 
+def _simhash_signatures_md5(df: DataFrame, id_col: str, text_col: str,
+                            bits: int) -> DataFrame:
+    """The md5 oracle SimHash as ONE zero-shuffle Arrow pass (round 8):
+    60-bit md5 token hashes per occurrence (``md5win``, one real md5 per
+    distinct token per batch) + the shared numpy bit-majority
+    (``rolling.segment_bit_majority``) -- value-identical to the old
+    explode -> md5 expression -> 60-conditional-SUM aggregate ->
+    empties anti-join union, including token-less docs getting 0 (the
+    majority of an empty segment) and ties -> 0. The signature is masked
+    to the low ``bits`` bits, matching the JVM assemble loop's range."""
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators import md5win, rolling
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    mask = np.uint64((1 << bits) - 1)
+
+    def batches(it):
+        for pdf in it:
+            h60, off = md5win.batch_token_md5_segments(pdf[text_col])
+            sig = rolling.segment_bit_majority(h60, off) & mask
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "simhash": sig.astype(np.int64),
+            })
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return fan_out(df.select(id_col, text_col), key=id_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 64, token_pattern: str = r"\s+", hash_fn: str = "rolling",
@@ -474,8 +562,13 @@ def simhash_signatures(
             raise ValueError("rolling simhash is 64-bit over \\s+ tokens; "
                              "pass hash_fn='xxhash64' for other shapes")
         return _simhash_signatures_rolling(df, id_col, text_col)
-    if hash_fn == "md5" and bits > 60:
+    if hash_fn in ("md5", "md5_jvm") and bits > 60:
         raise ValueError("md5 variant carries 60 hash bits; pass bits<=60")
+    if hash_fn == "md5" and token_pattern == r"\s+":
+        # round 8: same values from one Arrow pass (md5_jvm = old chain)
+        return _simhash_signatures_md5(df, id_col, text_col, bits)
+    if hash_fn == "md5_jvm":
+        hash_fn = "md5"
     tok = df.select(
         F.col(id_col),
         F.explode(

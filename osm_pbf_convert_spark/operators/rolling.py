@@ -161,21 +161,18 @@ def band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
-def batch_token_hash_segments(texts):
-    """``(flat, offsets)`` for a pandas Series of strings: the per-row
-    slice is the affine-finalized Karp-Rabin Horner hash
-    (``TOK_FIN_A * horner + TOK_FIN_B`` mod 2^64, base ``KR_BASE``) of
-    every ASCII-whitespace-separated token OCCURRENCE of the lower-cased
-    text, in document order (multiplicity preserved -- simhash weights
-    by occurrence; see ``TOK_FIN_A`` for why the finalizer exists). The delimiter class [ \\t\\n\\x0b\\f\\r] is exactly
-    Java's ``\\s`` (simhash's JVM flavors split on ``\\s+``) and RE2's
-    ``\\s`` (the DuckDB oracle's ``regexp_split_to_array``).
-
-    Vectorized end to end: token runs come from mask transitions on the
-    concatenated byte buffer; token hashes come from one dense gather per
-    token-LENGTH group (so total multiplies equal total token bytes --
-    no padding to the batch's longest token), chunked so peak transient
-    memory stays bounded."""
+def batch_token_spans(texts):
+    """``(buf, starts, tok_a, tok_b, offsets)``: the concatenated
+    lower-cased UTF-8 byte buffer of a pandas Series, per-row start
+    offsets, and the [tok_a, tok_b) byte span of every
+    ASCII-whitespace-separated token OCCURRENCE in document order.
+    ``offsets`` is the per-row token-count prefix sum. The delimiter
+    class [ \\t\\n\\x0b\\f\\r] is exactly Java's ``\\s`` (the simhash JVM
+    flavors split on ``\\s+``) and RE2's ``\\s`` (the DuckDB oracles'
+    ``regexp_split_to_array``); byte-level splitting equals char-level
+    splitting for ANY text because ASCII whitespace never occurs inside
+    a multi-byte UTF-8 sequence. Shared by the Karp-Rabin token hasher
+    below and the md5 token hasher (``operators/md5win.py``)."""
     raw = texts.fillna("").str.lower().str.encode("utf-8")
     lens = raw.str.len().to_numpy(np.int64)
     buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
@@ -184,7 +181,7 @@ def batch_token_hash_segments(texts):
     starts = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     if n == 0:
-        return np.empty(0, dtype=np.uint64), offsets
+        return buf, starts, np.empty(0, np.int64), np.empty(0, np.int64), offsets
     nonws = ~np.isin(buf, np.frombuffer(b" \t\n\x0b\x0c\r", dtype=np.uint8))
     # docs are concatenated without separators: a doc start always breaks
     # a token run
@@ -198,6 +195,26 @@ def batch_token_hash_segments(texts):
     next_break[-1] = True
     next_break[:-1] = ~nonws[1:]
     tok_b = np.nonzero(nonws & (next_break | docstart[1:n + 1]))[0] + 1
+    tok_owner = np.searchsorted(starts, tok_a, side="right") - 1
+    np.cumsum(np.bincount(tok_owner, minlength=lens.size), out=offsets[1:])
+    return buf, starts, tok_a, tok_b, offsets
+
+
+def batch_token_hash_segments(texts):
+    """``(flat, offsets)`` for a pandas Series of strings: the per-row
+    slice is the affine-finalized Karp-Rabin Horner hash
+    (``TOK_FIN_A * horner + TOK_FIN_B`` mod 2^64, base ``KR_BASE``) of
+    every ASCII-whitespace-separated token OCCURRENCE of the lower-cased
+    text, in document order (multiplicity preserved -- simhash weights
+    by occurrence; see ``TOK_FIN_A`` for why the finalizer exists).
+    Token boundaries come from ``batch_token_spans``.
+
+    Vectorized end to end: token runs come from mask transitions on the
+    concatenated byte buffer; token hashes come from one dense gather per
+    token-LENGTH group (so total multiplies equal total token bytes --
+    no padding to the batch's longest token), chunked so peak transient
+    memory stays bounded."""
+    buf, starts, tok_a, tok_b, offsets = batch_token_spans(texts)
     tlens = tok_b - tok_a
     t = tok_a.size
     hashes = np.zeros(t, dtype=np.uint64)
@@ -225,8 +242,6 @@ def batch_token_hash_segments(texts):
                     )
     with np.errstate(over="ignore"):
         hashes = hashes * np.uint64(TOK_FIN_A) + np.uint64(TOK_FIN_B)
-    tok_owner = np.searchsorted(starts, tok_a, side="right") - 1
-    np.cumsum(np.bincount(tok_owner, minlength=lens.size), out=offsets[1:])
     return hashes, offsets
 
 

@@ -123,6 +123,11 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
         fp = F.xxhash64(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string"))))
     elif hash_fn == "md5":
+        # round 8: one Arrow pass computes the identical md5 fingerprints
+        # (md5win digests are already sorted per doc = sort_array of the
+        # hex strings); "md5_jvm" keeps the old expression chain
+        return _fingerprint_md5(df, id_col, text_col, shingle_k, bottom_k)
+    elif hash_fn == "md5_jvm":
         hashes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
         bottom = F.slice(F.sort_array(hashes), 1, bottom_k)
         fp = F.md5(F.concat_ws(",", bottom).cast("binary"))
@@ -131,6 +136,46 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return df.withColumn("fingerprint", fp)
+
+
+def _fingerprint_md5(df: DataFrame, id_col: str, text_col: str,
+                     shingle_k: int, bottom_k: int) -> DataFrame:
+    """The md5 bottom-k fingerprint as ONE zero-shuffle Arrow pass
+    (round 8): per-doc distinct k-char window md5 digests from
+    ``operators/md5win.py`` (already sorted by digest bytes, which IS the
+    lexicographic order of their hex strings), take the first
+    ``bottom_k``, join the hex forms with ',', md5 again -- byte-identical
+    to the old ``sort_array(transform(shingles, md5))`` expression chain
+    incl. the empty-doc case (fingerprint = md5(''))."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from osm_pbf_convert_spark.operators import md5win
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    out_fields = list(df.schema.fields)
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema_str += ", fingerprint string"
+    empty_fp = hashlib.md5(b"").hexdigest()
+
+    def batches(it):
+        for pdf in it:
+            digs, off = md5win.batch_window_md5_segments(pdf[text_col], shingle_k)
+            fps = []
+            for i in range(off.size - 1):
+                s, e = off[i], min(off[i] + bottom_k, off[i + 1])
+                if e == s:
+                    fps.append(empty_fp)
+                    continue
+                msg = b",".join(digs[j].tobytes().hex().encode() for j in range(s, e))
+                fps.append(hashlib.md5(msg).hexdigest())
+            out = pdf.copy()
+            out["fingerprint"] = pd.Series(fps, index=pdf.index)
+            yield out
+
+    return fan_out(df, key=id_col).mapInPandas(batches, schema=schema_str)
 
 
 # bottom-k combine multiplier for the "rolling" flavor (window-hash
@@ -200,4 +245,6 @@ def _fingerprint_rolling(df: DataFrame, id_col: str, text_col: str,
             out["fingerprint"] = pd.Series(fps.astype(np.int64), index=pdf.index)
             yield out
 
-    return df.mapInPandas(batches, schema=schema_str)
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    return fan_out(df, key=id_col).mapInPandas(batches, schema=schema_str)

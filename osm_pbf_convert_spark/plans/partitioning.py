@@ -31,6 +31,37 @@ def with_cell(df: DataFrame, ilat: str = "ilat", ilon: str = "ilon") -> DataFram
     return df.withColumn("cell", morton_cell_col(F.col(ilat), F.col(ilon)))
 
 
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Scale-adaptive input fan-out for per-row-HEAVY stages (guide §2.5,
+    "input skew: one huge unsplittable file ... repartition immediately
+    after the read").
+
+    A small table scanned as fewer splits than the cluster has cores runs
+    its entire map side (shingle hashing, Arrow passes, regex scans) on
+    those few cores -- measured at bench scale: the 594 KB documents table
+    plans ONE split under a 1 MB ``openCostInBytes`` floor, so every
+    signature stage ran single-threaded on a 32-core box (md5 minhash
+    5.6 s -> 2.5 s from this alone). Repartitioning costs one exchange of
+    the RAW rows (cheap: raw text, not exploded shingles).
+
+    Scale-adaptive by construction: fires only when the planned scan
+    parallelism is BELOW ``defaultParallelism`` -- a 100 TB table already
+    scans as tens of thousands of splits and passes through untouched, so
+    this is never a cap, only a floor. Hash-partitions on ``key`` when
+    given (deterministic under retries, no sort-before-repartition pass);
+    round-robin otherwise.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # non-queryable plan (e.g. streaming): leave as-is
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
 def spatial_sort(df: DataFrame) -> DataFrame:
     """Globally order by Morton cell (reference entry point 2: nodes-index).
     Range shuffle + per-partition sort; spill handled by Spark."""

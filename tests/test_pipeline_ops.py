@@ -302,6 +302,62 @@ class TestDedup:
 
 
 @pytest.mark.spark
+class TestMd5ArrowParity:
+    """Round-8 rewrite gate: the md5 oracle flavors are now computed in a
+    zero-shuffle Arrow pass (operators/md5win.py); ``hash_fn="md5_jvm"``
+    keeps the original expression chains. The two must agree VALUE-FOR-
+    VALUE (the DuckDB oracle pins hash values, not just equality classes)
+    on a corpus that exercises every edge: exact/near dups, empty text,
+    text shorter than k, non-ASCII scripts (the per-doc fallback path),
+    mixed-case, and every Java-\\s whitespace delimiter."""
+
+    @pytest.fixture(scope="class")
+    def mixed_df(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumped over the lazy dog!"),
+            (4, "der schnelle braune fuchs springt über den faulen hund gut"),
+            (5, "це зовсім інший текст про щось не схоже на інші документи"),
+            (6, ""),
+            (7, "ab"),
+            (8, "日本語のテキストです これはテストです 日本語のテキスト"),
+            (9, "MiXeD CaSe TeXt WiTh UPPER and lower"),
+            (10, "tabs\tand\nnewlines\x0bweird\fspaces\r end"),
+            (11, "ASCII with ünïcödé mixed in the middle of things"),
+        ]
+        return spark.createDataFrame(rows, schema="doc_id bigint, text string")
+
+    def _assert_equal(self, a, b):
+        pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+        pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert pa[sorted(pa.columns)].equals(pb[sorted(pb.columns)])
+
+    def test_minhash_signatures_exact(self, mixed_df):
+        for k, h in ((5, 32), (6, 64), (8, 16)):
+            self._assert_equal(
+                dedup.minhash_signatures(mixed_df, num_hashes=h, shingle_k=k, hash_fn="md5"),
+                dedup.minhash_signatures(mixed_df, num_hashes=h, shingle_k=k, hash_fn="md5_jvm"),
+            )
+
+    def test_simhash_signatures_exact(self, mixed_df):
+        for bits in (60, 32):
+            self._assert_equal(
+                dedup.simhash_signatures(mixed_df, bits=bits, hash_fn="md5"),
+                dedup.simhash_signatures(mixed_df, bits=bits, hash_fn="md5_jvm"),
+            )
+
+    def test_fingerprint_exact(self, mixed_df):
+        for k, b in ((8, 8), (5, 3)):
+            self._assert_equal(
+                text.fingerprint(mixed_df, shingle_k=k, bottom_k=b, hash_fn="md5")
+                .select("doc_id", "fingerprint"),
+                text.fingerprint(mixed_df, shingle_k=k, bottom_k=b, hash_fn="md5_jvm")
+                .select("doc_id", "fingerprint"),
+            )
+
+
+@pytest.mark.spark
 class TestText:
     def test_token_counts(self, spark):
         df = spark.createDataFrame([("hello world, 42 times!",), ("",)], schema="text string")
