@@ -408,6 +408,7 @@ def ngram_jaccard_lsh_pairs(
     shingle_k: int = 5, threshold: float = 0.8,
     num_hashes: int = 64, bands: int = 16, hash_fn: str = "rolling",
     max_bucket_size: int | None = None, verify_on_hashes: bool = False,
+    verify_prefilter: bool = False,
 ) -> DataFrame:
     """Scale path for n-gram Jaccard: MinHash-LSH candidate generation +
     EXACT Jaccard verify on the candidates.
@@ -436,22 +437,57 @@ def ngram_jaccard_lsh_pairs(
     exact up to within-doc hash collisions (~|S|^2 / 2^64 -- odds of
     one affected doc per ~10^9 docs), so this is the 100 TB recipe
     alongside ``max_bucket_size``; default False preserves bit-exact
-    string-set semantics (the oracled flavor)."""
+    string-set semantics (the oracled flavor).
+
+    ``verify_prefilter`` (round 8, guide §3.2 "reduce the big side before
+    shuffling it"): the exact-verify join only ever reads the shingle
+    sets of docs that appear in a candidate pair, but the old plan built
+    and shuffled one shingle array for EVERY corpus doc through two
+    merge-join sorts. Now the candidate pairs are materialized once
+    (``localCheckpoint`` -- they are near-dup-proportional, the same
+    class the CC operator checkpoints per round), their id set
+    semi-join-prunes the corpus BEFORE any shingle array is built, and
+    only candidate docs' arrays enter the verify joins. Candidate
+    volume, not corpus volume, then drives the verify stage; jaccard
+    values are unchanged (each doc's full shingle set is still computed
+    independently). Default OFF: at bench scale the eager checkpoint +
+    prune joins cost MORE than corpus-wide array building saves
+    (measured +1.2 s at sf0.1); opt in at corpus scale, where shuffling
+    every doc's shingle arrays through two merge-join sorts is the wall
+    (the same measured tradeoff class as ``max_bucket_size``)."""
     cands = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, shingle_k,
                               hash_fn, max_bucket_size)
+    base = df
+    if verify_prefilter:
+        # eager checkpoint: `cands` feeds the id prune AND the verify
+        # join; without it the whole signature+banding subtree would be
+        # recomputed per consumer. Post-checkpoint size stats are ACTUAL,
+        # so Catalyst broadcasts the id set only when it truly is small.
+        cands = cands.localCheckpoint(eager=True)
+        ids = (
+            cands.select(F.col("a").alias(id_col))
+            .union(cands.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(ids, id_col, "left_semi")
     if verify_on_hashes and hash_fn == "rolling":
         # the fully substring-free path: verify sets are the SAME
         # Karp-Rabin window hashes the signatures minimized over
-        sh = _kr_hash_arrays(df, id_col, text_col, shingle_k)
+        sh = _kr_hash_arrays(base, id_col, text_col, shingle_k)
     else:
+        from osm_pbf_convert_spark.plans.partitioning import fan_out
+
         shs_expr = shingles_col(F.col(text_col), shingle_k)
         if verify_on_hashes:
             shs_expr = F.transform(shs_expr, lambda x: F.xxhash64(x))
-        sh = df.select(F.col(id_col), shs_expr.alias("shs"))
-    # merge hints: the shingle-ARRAY side is corpus-sized; its columnar
-    # scan estimate undershoots the exploded row format by ~100x, so the
-    # auto-broadcast threshold would hash-build it on every executor
-    # (measured exit-52 OOM at 16x bench volume, 8 GB executors)
+        # fan out BEFORE the substring materialization: shingles_col is
+        # the per-row-heavy step here (guide §2.5 input skew)
+        sh = fan_out(base, key=id_col).select(F.col(id_col), shs_expr.alias("shs"))
+    # merge hints: the shingle-ARRAY side is corpus-sized (candidate-sized
+    # under verify_prefilter, still unbounded); its columnar scan estimate
+    # undershoots the exploded row format by ~100x, so the auto-broadcast
+    # threshold would hash-build it on every executor (measured exit-52
+    # OOM at 16x bench volume, 8 GB executors)
     return (
         cands
         .join(sh.select(F.col(id_col).alias("a"), F.col("shs").alias("sha")).hint("merge"), "a")
@@ -770,7 +806,21 @@ def _assign_hyperplane_buckets(
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.stack(pdf[vec_col].to_numpy())  # n x dim float64
+            vecs = pdf[vec_col].to_numpy()
+            # robustness (ADVICE r7): a single null/ragged embedding must
+            # not crash the whole job -- name the offending id instead
+            # (the pre-r7 zip_with expression silently nulled such rows;
+            # an explicit error is the safer dedup-pipeline behavior)
+            lens = {len(v) if v is not None else -1 for v in vecs}
+            if len(lens) > 1 or -1 in lens:
+                bad = next(
+                    i for v, i in zip(vecs, pdf[id_col])
+                    if v is None or len(v) != max(lens)
+                )
+                raise ValueError(
+                    f"embedding_neardup: null or ragged embedding at {id_col}={bad!r}"
+                )
+            V = np.stack(vecs)  # n x dim float64
             n, d = V.shape
             k = min(d, S.shape[1])  # zip_with semantics: shorter side wins
             acc = np.zeros((n, planes), dtype=np.float64)
@@ -824,7 +874,16 @@ def embedding_neardup_pairs(
     if hyperplanes is not None:
         signs = [[float(s) for s in row] for row in hyperplanes]
     else:
-        dim = df.select(F.size(vec_col)).first()[0]  # one-row driver probe
+        row = df.select(F.size(vec_col)).first()  # one-row driver probe
+        if row is None:  # empty input: no pairs (ADVICE r7 guard)
+            return df.sparkSession.createDataFrame(
+                [], schema="a long, b long, cosine double"
+            ).select(
+                F.col("a").cast(df.schema[id_col].dataType).alias("a"),
+                F.col("b").cast(df.schema[id_col].dataType).alias("b"),
+                "cosine",
+            )
+        dim = row[0]
         signs = _hyperplane_sign_matrix(df.sparkSession, planes, dim, seed)
     withb = _assign_hyperplane_buckets(df, id_col, vec_col, signs)
     a = withb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")

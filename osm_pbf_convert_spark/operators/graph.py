@@ -43,7 +43,7 @@ training-data-pipeline extension, same family as operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,14 +61,19 @@ def _canonical_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor v of u to
-    m = min(N(u) + {u})."""
+    m = min(N(u) + {u}).
+
+    Round 8 (guide §2.4 "window functions partitioned by the same key as
+    a preceding aggregation do not need a second shuffle"): the
+    per-center minimum is a window MIN over the same ``u`` partitioning
+    the old groupBy+self-join pair re-shuffled for -- one exchange per
+    star instead of two, same output."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    w = Window.partitionBy("u")
     return (
-        sym.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
-        .select(F.col("m").alias("u"), F.col("v"))
+        sym.withColumn("mn", F.min("v").over(w))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.least("u", "mn").alias("u"), F.col("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -76,13 +81,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Directed so u >= v; connect every small neighbor (and u itself) to
-    m = min(N_small(u) + {u})."""
+    m = min(N_small(u) + {u}). Window-min form, one exchange (see
+    ``_large_star``); the (m, u) self rows ride the same windowed frame,
+    deduped by the final distinct."""
     d = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        d.join(mins, "u")
-        .select(F.col("m").alias("u"), F.col("v"))
-        .union(mins.select(F.col("m").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    wd = d.withColumn("m", F.min("v").over(w))
+    out = wd.select(F.col("m").alias("u"), F.col("v")).union(
+        wd.select(F.col("m").alias("u"), F.col("u").alias("v"))
     )
     return out.filter(F.col("u") != F.col("v")).distinct()
 

@@ -183,7 +183,11 @@ def extract_features(
                 ]
             yield pdf
 
-    return df.mapInPandas(fn, out_schema)
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    # per-row image decode is the per-row-heavy class (guide §2.5): never
+    # run it on the 1-2 splits a small media table scans as
+    return fan_out(df).mapInPandas(fn, out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "stub") -> DataFrame:

@@ -289,57 +289,6 @@ def assign_polygons(
 # ---------------------------------------------------------------------------
 
 
-_EVEN64 = 0x5555555555555555
-
-
-def _neighbor_tiles_col(ilat: Column, ilon: Column, z: int, ring: int) -> Column:
-    """Array of biased tile ids within `ring` rings of the point's tile.
-
-    Built with Morton increment/decrement arithmetic on the center tile
-    (x' = ((x_bits | odd_mask) + 1) & even_mask etc.) instead of a fresh
-    bit-spread chain per neighbor -- (2r+1)^2 neighbors cost 2 spreads +
-    2(2r+1) inc/dec chains + (2r+1)^2 ORs, keeping codegen small.
-    Out-of-range neighbors are dropped via array_compact.
-    """
-    em = F.lit(_EVEN64)
-    om = F.lit(~_EVEN64)  # odd mask (negative int64 literal)
-    by = F.shiftright((ilat.cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
-    bx = F.shiftright((ilon.cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
-    tile = _spread_col(bx).bitwiseOR(F.shiftleft(_spread_col(by), 1))
-    x0 = tile.bitwiseAND(em)
-    y0 = tile.bitwiseAND(om)
-
-    def inc_x(x):
-        return (x.bitwiseOR(om) + 1).bitwiseAND(em)
-
-    def dec_x(x):
-        return (x - 1).bitwiseAND(em)
-
-    def inc_y(y):
-        return (y.bitwiseOR(em) + 2).bitwiseAND(om)
-
-    def dec_y(y):
-        return (y - 2).bitwiseAND(om)
-
-    xparts = {0: x0}
-    yparts = {0: y0}
-    for r in range(1, ring + 1):
-        xparts[r] = inc_x(xparts[r - 1])
-        xparts[-r] = dec_x(xparts[-(r - 1)])
-        yparts[r] = inc_y(yparts[r - 1])
-        yparts[-r] = dec_y(yparts[-(r - 1)])
-
-    lim = F.lit((1 << z) - 1)
-    tiles = []
-    for dy in range(-ring, ring + 1):
-        for dx in range(-ring, ring + 1):
-            nx = bx + F.lit(dx)
-            ny = by + F.lit(dy)
-            valid = (nx >= 0) & (nx <= lim) & (ny >= 0) & (ny <= lim)
-            tiles.append(F.when(valid, xparts[dx].bitwiseOR(yparts[dy])))
-    return F.array_compact(F.array(*tiles))
-
-
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -366,12 +315,32 @@ def knn_join(
         F.col("ilat").alias("_p_ilat"),
         F.col("ilon").alias("_p_ilon"),
     ).withColumn("_tile", biased_tile_col(F.col("_p_ilat"), F.col("_p_ilon"), z))
-    qs = queries.select(
+    # Round 8: neighbor tiles are computed by exploding a LITERAL (dx, dy)
+    # offset array and bit-spreading ONCE after the explode, instead of the
+    # old per-neighbor Morton increment chains inside one (2r+1)^2-branch
+    # array expression. Same tile set (pytest-pinned); the old tree cost
+    # ~0.35 s of per-execution driver optimization/codegen at ring=1 --
+    # paid TWICE per query (broadcast build + probe) -- on a 5-row input.
+    qbase = queries.select(
         F.col(query_id).alias("_qid"),
         F.col("ilat").alias("_q_ilat"),
         F.col("ilon").alias("_q_ilon"),
-    ).withColumn(
-        "_tile", F.explode(_neighbor_tiles_col(F.col("_q_ilat"), F.col("_q_ilon"), z, ring))
+    )
+    by = F.shiftright((F.col("_q_ilat").cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
+    bx = F.shiftright((F.col("_q_ilon").cast("long") + F.lit(2**31)).bitwiseAND(F.lit(0xFFFFFFFF)), 32 - z)
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dy in range(-ring, ring + 1) for dx in range(-ring, ring + 1)
+    ])
+    nx = F.col("_bx") + F.col("_o.dx")
+    ny = F.col("_by") + F.col("_o.dy")
+    lim = F.lit((1 << z) - 1)
+    qs = (
+        qbase.withColumn("_by", by).withColumn("_bx", bx)
+        .select("*", F.explode(offs).alias("_o"))
+        .filter((nx >= 0) & (nx <= lim) & (ny >= 0) & (ny <= lim))
+        .withColumn("_tile", _spread_col(nx).bitwiseOR(F.shiftleft(_spread_col(ny), 1)))
+        .drop("_by", "_bx", "_o")
     )
     if salt > 0:
         pts = pts.withColumn("_salt", F.pmod(F.hash("_pid"), F.lit(salt)))

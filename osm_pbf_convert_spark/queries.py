@@ -855,13 +855,22 @@ def _pbf_file(spark, sf_dir) -> str:
 
 
 def q_pbf_file_nodes(spark, sf_dir):
-    """Decode a standalone .osm.pbf file distributed: 1 MiB byte-range
-    splits self-sync to blob-frame boundaries (``sources/pbf_file.py``),
-    frames feed the same mapInArrow decode, aggregated per id bucket so
-    the oracle replays the decode arithmetic from lineitem."""
+    """Decode a standalone .osm.pbf file distributed: byte-range splits
+    self-sync to blob-frame boundaries (``sources/pbf_file.py``), frames
+    feed the same mapInArrow decode, aggregated per id bucket so the
+    oracle replays the decode arithmetic from lineitem. Split size is
+    scale-adaptive (r8): sized so the file fans out across the cluster's
+    cores (floor 64 KiB), capped at 64 MiB -- the fixed 1 MiB split
+    underfilled a 32-core box on a ~7 MiB fixture (7 decode tasks) and
+    is equally wrong in the other direction at extract scale."""
+    import os as _os
+
     from osm_pbf_convert_spark.sources.pbf_file import read_pbf_nodes
 
-    nodes = read_pbf_nodes(spark, _pbf_file(spark, sf_dir), split_bytes=1 << 20)
+    path = _pbf_file(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    split = max(1 << 16, min(64 << 20, _os.path.getsize(path) // par + 1))
+    nodes = read_pbf_nodes(spark, path, split_bytes=split)
     return nodes.groupBy(F.pmod(F.col("id"), F.lit(97)).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("ilat").cast("long")).alias("sum_ilat"),
@@ -1653,7 +1662,13 @@ SELECT component, doc_id AS survivor_id, n_docs FROM (
 
 
 def q_lang_id(spark, sf_dir):
-    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+    # fan_out (r8): 3 regex scans + 4 array_intersects per row are the
+    # per-row-heavy class that must not run on a 1-split scan (guide §2.5)
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    return text.lang_id(fan_out(_t(spark, sf_dir, "documents"), key="doc_id")).select(
+        "doc_id", "lang_pred"
+    )
 
 
 def _lang_oracle() -> str:
@@ -1701,7 +1716,10 @@ _Q_LANG_ORACLE = _lang_oracle()
 
 
 def q_quality(spark, sf_dir):
-    return text.quality_features(_t(spark, sf_dir, "documents")).select(
+    # fan_out (r8): same per-row regex-heavy class as q_lang_id
+    from osm_pbf_convert_spark.plans.partitioning import fan_out
+
+    return text.quality_features(fan_out(_t(spark, sf_dir, "documents"), key="doc_id")).select(
         "doc_id",
         F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
         F.round("quality_score", 6).alias("quality_score"),

@@ -244,6 +244,23 @@ class TestDedup:
         got = {tuple(r) for r in out[["a", "b"]].itertuples(index=False)}
         assert (1, 2) in got and (1, 3) not in got
 
+    def test_embedding_neardup_empty_input(self, spark):
+        """ADVICE r7: the dimension probe must not TypeError on an empty
+        table -- an empty pair frame with the right schema comes back."""
+        empty = spark.createDataFrame([], schema="vec_id bigint, embedding array<double>")
+        out = dedup.embedding_neardup_pairs(empty, threshold=0.5)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["a", "b", "cosine"]
+
+    def test_embedding_neardup_null_vector_raises_with_id(self, spark):
+        """ADVICE r7: a single null/ragged embedding must fail loudly and
+        NAME the offending row, not crash with a bare numpy stack error."""
+        bad = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None)], schema="vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="vec_id=2"):
+            dedup.embedding_neardup_pairs(bad, threshold=0.5).count()
+
     def _catalyst_buckets(self, df, signs):
         """The pre-round-7 per-plane Catalyst aggregate chain, kept here
         as the parity reference for the Arrow bucketing pass."""
