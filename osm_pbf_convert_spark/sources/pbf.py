@@ -612,8 +612,150 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
         + " tags map<string,string>, refs array<bigint>,"
         + " members array<struct<member_type:int, ref:bigint, role:string>>"
     )
-    member_t = pa.struct([("member_type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())])
-    empty_f64 = pa.nulls(0, pa.float64())
+    def fn(batches):
+        for batch in batches:
+            per_row = [
+                _safe_parse(buf, ("nodes", "ways", "relations"), on_error, bad_counter)
+                for buf in _iter_binary(batch.column(payload_col))
+            ]
+            assembled = _entity_arrays(batch, per_row, pcols)
+            if assembled is None:
+                continue
+            yield pa.RecordBatch.from_arrays(*assembled)
+
+    return in_df.mapInArrow(fn, out_schema)
+
+
+_MEMBER_T = pa.struct([("member_type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())])
+
+
+def _entity_arrays(batch: pa.RecordBatch, per_row: list, pcols: list):
+    """Assemble the tall entity union arrays for one input batch of parsed
+    payloads -- the shared body of ``decode_entities`` and the fused
+    ``decode_entities_geo``. Returns (arrays, names) or None when the
+    batch decodes to zero entities."""
+    n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+    n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+    n_r = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
+    repeats = n_n + n_w + n_r
+    total = int(repeats.sum())
+    if total == 0:
+        return None
+    kind_l, id_l, lat_l, lon_l = [], [], [], []
+    tag_counts, tag_keys, tag_vals = [], [], []
+    ref_counts, refs_flat = [], []
+    mem_counts, mem_flat = [], []
+    for p in per_row:
+        nn, nw, nr = len(p.nodes.ids), len(p.ways.ids), len(p.relations.ids)
+        kind_l.append(np.concatenate([
+            np.zeros(nn, np.int32), np.ones(nw, np.int32), np.full(nr, 2, np.int32)
+        ]))
+        id_l.append(np.concatenate([
+            p.nodes.ids, np.asarray(p.ways.ids, np.int64), np.asarray(p.relations.ids, np.int64)
+        ]))
+        lat_l.append(p.nodes.lat)
+        lon_l.append(p.nodes.lon)
+        tag_counts.append(p.nodes.tag_counts)
+        tag_keys.extend(p.nodes.tag_keys)
+        tag_vals.extend(p.nodes.tag_vals)
+        for d in p.ways.tags + p.relations.tags:
+            tag_counts.append(np.array([len(d)], np.int32))
+            tag_keys.extend(d.keys())
+            tag_vals.extend(d.values())
+        for r in p.ways.refs:
+            ref_counts.append(len(r))
+            refs_flat.append(r)
+        mem_counts.extend(len(m) for m in p.relations.members)
+        mem_flat.extend(m for ms in p.relations.members for m in ms)
+    kind = np.concatenate(kind_l)
+    ids = np.concatenate(id_l)
+    nodes_mask = kind == 0
+    ways_mask = kind == 1
+    rels_mask = kind == 2
+    lat = np.full(total, np.nan)
+    lon = np.full(total, np.nan)
+    lat[nodes_mask] = np.concatenate(lat_l) if lat_l else []
+    lon[nodes_mask] = np.concatenate(lon_l) if lon_l else []
+    ilat = np.zeros(total, np.int32)
+    ilon = np.zeros(total, np.int32)
+    ilat[nodes_mask] = quantize_np(lat[nodes_mask])
+    ilon[nodes_mask] = quantize_np(lon[nodes_mask])
+    # tags: per-entity counts were appended nodes-first per PAGE,
+    # then ways, then rels -- same order as kind/id construction
+    counts_all = np.concatenate(tag_counts) if tag_counts else np.empty(0, np.int32)
+    tags_arr = _tags_map_array(counts_all, tag_keys, tag_vals)
+    # refs list: null for non-way rows (vectorized CSR offsets)
+    per_row_refs = np.zeros(total, np.int64)
+    per_row_refs[ways_mask] = np.asarray(ref_counts, np.int64)
+    ref_off = np.zeros(total + 1, np.int32)
+    ref_off[1:] = np.cumsum(per_row_refs).astype(np.int32)
+    refs_child = (
+        np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64)
+    )
+    refs_arr = pa.ListArray.from_arrays(
+        pa.array(ref_off, pa.int32()), pa.array(refs_child, pa.int64()),
+    )
+    refs_arr = _mask_list(refs_arr, ways_mask)
+    per_row_mem = np.zeros(total, np.int64)
+    per_row_mem[rels_mask] = np.asarray(mem_counts, np.int64)
+    mem_off = np.zeros(total + 1, np.int32)
+    mem_off[1:] = np.cumsum(per_row_mem).astype(np.int32)
+    mem_struct = pa.array(
+        [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in mem_flat],
+        type=_MEMBER_T,
+    )
+    mem_arr = _mask_list(
+        pa.ListArray.from_arrays(pa.array(mem_off, pa.int32()), mem_struct), rels_mask
+    )
+    arrays = _passthrough_take(batch, pcols, repeats)
+    arrays += [
+        pa.array(kind, pa.int32()),
+        pa.array(ids, pa.int64()),
+        pa.array(lat, pa.float64()),
+        pa.array(lon, pa.float64()),
+        pa.array(ilat, pa.int32()),
+        pa.array(ilon, pa.int32()),
+        tags_arr,
+        refs_arr,
+        mem_arr,
+    ]
+    names = pcols + ["kind", "id", "lat", "lon", "ilat", "ilon", "tags", "refs", "members"]
+    return arrays, names
+
+
+def decode_entities_geo(
+    df: DataFrame, payload_col: str = "html", on_error: str = "raise", bad_counter=None
+) -> DataFrame:
+    """Fused decode (round 8; VERDICT r7 "fuse the double decode"): ONE
+    parse per payload emits BOTH the entity union rows of
+    ``decode_entities`` (kind 0/1/2) AND the page-local geo-extent rows of
+    ``decode_pages_geo`` as kind=3 rows -- the streaming pipeline
+    previously ran both decoders over the same ``html`` column, re-parsing
+    every payload (~35% extra ingest CPU at the 16x rehearsal).
+
+    Output schema = every non-payload source column (geo rows carry them;
+    entity rows carry only ``url``) + the entity union columns + the geo
+    extent columns. kind=3 rows replicate ``decode_pages_geo`` exactly:
+    one row per page with >= 1 node, extent from the page's OWN nodes,
+    ``text`` passed through byte-identical; zero-node pages emit no geo
+    row (inner-join semantics). Entity rows have the geo columns null and
+    vice versa -- columnar nulls are ~free in the parquet sink.
+    """
+    if "url" not in df.columns:
+        raise ValueError("decode_entities_geo needs a url column")
+    # url first so the entity batches' column order matches the schema
+    pcols = ["url"] + [c for c in df.columns if c not in (payload_col, "url")]
+    in_df = df.select(*pcols, payload_col)
+    schema_fields = [in_df.schema[c] for c in pcols]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
+        + ", kind int, id bigint, lat double, lon double, ilat int, ilon int,"
+        + " tags map<string,string>, refs array<bigint>,"
+        + " members array<struct<member_type:int, ref:bigint, role:string>>,"
+        + " n_geo bigint, min_ilat int, max_ilat int, min_ilon int, max_ilon int"
+    )
+    geo_names = ["n_geo", "min_ilat", "max_ilat", "min_ilon", "max_ilon"]
+    extra_pcols = [c for c in pcols if c != "url"]
 
     def fn(batches):
         for batch in batches:
@@ -621,93 +763,57 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
                 _safe_parse(buf, ("nodes", "ways", "relations"), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
-            n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
-            n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
-            n_r = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
-            repeats = n_n + n_w + n_r
-            total = int(repeats.sum())
-            if total == 0:
+            assembled = _entity_arrays(batch, per_row, ["url"])
+            if assembled is not None:
+                arrays, names = assembled
+                n = len(arrays[0])
+                # entity rows: extra passthrough + geo columns are null
+                url_pos = names.index("url")
+                full, fnames = [arrays[url_pos]], ["url"]
+                for c in extra_pcols:
+                    full.append(pa.nulls(n, batch.column(c).type))
+                    fnames.append(c)
+                full += arrays[1:]
+                fnames += names[1:]
+                full += [pa.nulls(n, pa.int64())] + [pa.nulls(n, pa.int32())] * 4
+                fnames += geo_names
+                yield pa.RecordBatch.from_arrays(full, names=fnames)
+            # geo rows (kind=3), mirroring decode_pages_geo
+            counts = np.fromiter(
+                (len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row)
+            )
+            keep = counts > 0
+            if not keep.any():
                 continue
-            kind_l, id_l, lat_l, lon_l = [], [], [], []
-            tag_counts, tag_keys, tag_vals = [], [], []
-            ref_counts, refs_flat = [], []
-            mem_counts, mem_flat = [], []
-            for p in per_row:
-                nn, nw, nr = len(p.nodes.ids), len(p.ways.ids), len(p.relations.ids)
-                kind_l.append(np.concatenate([
-                    np.zeros(nn, np.int32), np.ones(nw, np.int32), np.full(nr, 2, np.int32)
-                ]))
-                id_l.append(np.concatenate([
-                    p.nodes.ids, np.asarray(p.ways.ids, np.int64), np.asarray(p.relations.ids, np.int64)
-                ]))
-                lat_l.append(p.nodes.lat)
-                lon_l.append(p.nodes.lon)
-                tag_counts.append(p.nodes.tag_counts)
-                tag_keys.extend(p.nodes.tag_keys)
-                tag_vals.extend(p.nodes.tag_vals)
-                for d in p.ways.tags + p.relations.tags:
-                    tag_counts.append(np.array([len(d)], np.int32))
-                    tag_keys.extend(d.keys())
-                    tag_vals.extend(d.values())
-                for r in p.ways.refs:
-                    ref_counts.append(len(r))
-                    refs_flat.append(r)
-                mem_counts.extend(len(m) for m in p.relations.members)
-                mem_flat.extend(m for ms in p.relations.members for m in ms)
-            kind = np.concatenate(kind_l)
-            ids = np.concatenate(id_l)
-            nodes_mask = kind == 0
-            ways_mask = kind == 1
-            rels_mask = kind == 2
-            lat = np.full(total, np.nan)
-            lon = np.full(total, np.nan)
-            lat[nodes_mask] = np.concatenate(lat_l) if lat_l else []
-            lon[nodes_mask] = np.concatenate(lon_l) if lon_l else []
-            ilat = np.zeros(total, np.int32)
-            ilon = np.zeros(total, np.int32)
-            ilat[nodes_mask] = quantize_np(lat[nodes_mask])
-            ilon[nodes_mask] = quantize_np(lon[nodes_mask])
-            # tags: per-entity counts were appended nodes-first per PAGE,
-            # then ways, then rels -- same order as kind/id construction
-            counts_all = np.concatenate(tag_counts) if tag_counts else np.empty(0, np.int32)
-            tags_arr = _tags_map_array(counts_all, tag_keys, tag_vals)
-            # refs list: null for non-way rows (vectorized CSR offsets)
-            per_row_refs = np.zeros(total, np.int64)
-            per_row_refs[ways_mask] = np.asarray(ref_counts, np.int64)
-            ref_off = np.zeros(total + 1, np.int32)
-            ref_off[1:] = np.cumsum(per_row_refs).astype(np.int32)
-            refs_child = (
-                np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64)
-            )
-            refs_arr = pa.ListArray.from_arrays(
-                pa.array(ref_off, pa.int32()), pa.array(refs_child, pa.int64()),
-            )
-            refs_arr = _mask_list(refs_arr, ways_mask)
-            per_row_mem = np.zeros(total, np.int64)
-            per_row_mem[rels_mask] = np.asarray(mem_counts, np.int64)
-            mem_off = np.zeros(total + 1, np.int32)
-            mem_off[1:] = np.cumsum(per_row_mem).astype(np.int32)
-            mem_struct = pa.array(
-                [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in mem_flat],
-                type=member_t,
-            )
-            mem_arr = _mask_list(
-                pa.ListArray.from_arrays(pa.array(mem_off, pa.int32()), mem_struct), rels_mask
-            )
-            arrays = _passthrough_take(batch, pcols, repeats)
-            arrays += [
-                pa.array(kind, pa.int32()),
-                pa.array(ids, pa.int64()),
-                pa.array(lat, pa.float64()),
-                pa.array(lon, pa.float64()),
-                pa.array(ilat, pa.int32()),
-                pa.array(ilon, pa.int32()),
-                tags_arr,
-                refs_arr,
-                mem_arr,
+            n_geo, mn_la, mx_la, mn_lo, mx_lo = [], [], [], [], []
+            for p in (pr for pr, k in zip(per_row, keep) if k):
+                ila = quantize_np(p.nodes.lat)
+                ilo = quantize_np(p.nodes.lon)
+                n_geo.append(len(ila))
+                mn_la.append(ila.min())
+                mx_la.append(ila.max())
+                mn_lo.append(ilo.min())
+                mx_lo.append(ilo.max())
+            g = int(keep.sum())
+            garrays = _passthrough_take(batch, pcols, keep.astype(np.int64))
+            gnames = list(pcols)
+            garrays += [
+                pa.array(np.full(g, 3, np.int32), pa.int32()),           # kind
+                pa.nulls(g, pa.int64()),                                  # id
+                pa.nulls(g, pa.float64()), pa.nulls(g, pa.float64()),     # lat/lon
+                pa.nulls(g, pa.int32()), pa.nulls(g, pa.int32()),         # ilat/ilon
+                pa.nulls(g, _MAP_T),                                      # tags
+                pa.nulls(g, pa.list_(pa.int64())),                        # refs
+                pa.nulls(g, pa.list_(_MEMBER_T)),                         # members
+                pa.array(np.asarray(n_geo, np.int64), pa.int64()),
+                pa.array(np.asarray(mn_la, np.int32), pa.int32()),
+                pa.array(np.asarray(mx_la, np.int32), pa.int32()),
+                pa.array(np.asarray(mn_lo, np.int32), pa.int32()),
+                pa.array(np.asarray(mx_lo, np.int32), pa.int32()),
             ]
-            names = pcols + ["kind", "id", "lat", "lon", "ilat", "ilon", "tags", "refs", "members"]
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            gnames += ["kind", "id", "lat", "lon", "ilat", "ilon", "tags",
+                       "refs", "members"] + geo_names
+            yield pa.RecordBatch.from_arrays(garrays, names=gnames)
 
     return in_df.mapInArrow(fn, out_schema)
 

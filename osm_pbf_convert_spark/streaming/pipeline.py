@@ -11,12 +11,16 @@ streaming sink's transaction log:
 
 1. **decode** (bronze): pages parquet stream (url, warc_ts, html, text,
    lang -- the north-rule input shape) OR ``.osm.pbf`` extract drops
-   (binaryFile source) -> ``decode_entities`` (stateless mapInArrow, the
-   unchanged batch decoder) -> append-only ``{out}/entities``.
-   Exactly-once per input file: the file source checkpoints which files
-   it has consumed, the parquet sink logs which output files each batch
-   committed (``_spark_metadata``), so a crashed/restarted query neither
-   re-decodes nor double-writes.
+   (binaryFile source) -> stateless mapInArrow decode -> append-only
+   ``{out}/entities``. Pages mode uses the FUSED decoder
+   (``decode_entities_geo``, round 8): the ONE parse also emits each
+   page's kind=3 geo-extent row, so the pages_geo stage no longer
+   re-parses every payload (the old double decode cost ~35% extra
+   ingest CPU at the 16x rehearsal); entity consumers filter
+   ``kind <= 2``. Exactly-once per input file: the file source
+   checkpoints which files it has consumed, the parquet sink logs which
+   output files each batch committed (``_spark_metadata``), so a
+   crashed/restarted query neither re-decodes nor double-writes.
 2. **tiles** (silver): ``{out}/entities`` read AS A STREAM (the sink's
    metadata log makes the handoff exactly-once) -> node filter ->
    running per-finest-tile counts (update-mode stateful aggregation;
@@ -29,11 +33,12 @@ streaming sink's transaction log:
    retry contract still yields exactly-once table contents. With plain
    parquet the upsert rewrites the finest table (bounded by tile count);
    on a lakehouse deployment the same fn is one Delta/Iceberg MERGE.
-3. **pages_geo** (pages mode only): each page's geo extent computed
-   PAGE-LOCALLY inside the decode pass (``decode_pages_geo`` -- a page's
-   nodes come only from its own payload, so the per-url aggregate needs
-   no shuffle and no state; the batch pipeline joins against the
-   materialized entities table instead, row-for-row equal by pytest).
+3. **pages_geo** (pages mode only): a stateless kind==3 projection of
+   the fused bronze table (the extent was computed PAGE-LOCALLY inside
+   the decode pass -- a page's nodes come only from its own payload, so
+   the per-url aggregate needs no shuffle and no state; the batch
+   pipeline joins against the materialized entities table instead,
+   row-for-row equal by pytest).
 4. **dedup** (pages mode only -- extracts carry no text): page text ->
    ``stream_minhash_pairs`` (stateful LSH, RocksDB state store) ->
    append ``{out}/dup_pairs``. Pair emission is at-least-once per shared
@@ -70,7 +75,7 @@ from osm_pbf_convert_spark.streaming.dedup import (
 
 # decode_entities output with passthrough=("url",): the schema the tiles
 # stage uses to re-read the entities sink as a stream (file sources do
-# not infer schemas)
+# not infer schemas). Extract mode writes this exact shape.
 ENTITY_SCHEMA = (
     "url string, kind int, id bigint, lat double, lon double, ilat int,"
     " ilon int, tags map<string,string>, refs array<bigint>,"
@@ -79,6 +84,37 @@ ENTITY_SCHEMA = (
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+# pages mode (round 8, fused decode): the bronze table additionally holds
+# kind=3 page-geo rows (decode_entities_geo), so every payload is parsed
+# ONCE -- the old pipeline ran decode_pages_geo as a second full parse of
+# the same html column (~35% extra ingest CPU at the 16x rehearsal).
+# Entity consumers filter kind <= 2; the pages_geo stage is now a
+# stateless kind==3 projection of this table.
+_ENTITY_COLS = (
+    "kind int, id bigint, lat double, lon double, ilat int,"
+    " ilon int, tags map<string,string>, refs array<bigint>,"
+    " members array<struct<member_type:int, ref:bigint, role:string>>"
+)
+_GEO_COLS = "n_geo bigint, min_ilat int, max_ilat int, min_ilon int, max_ilon int"
+
+
+def fused_entity_schema(source: DataFrame, payload_col: str = "html"):
+    """(schema string, passthrough column names) of the fused bronze
+    table for a given pages source -- mirrors decode_entities_geo's
+    url-first column order."""
+    fields = {f.name: f for f in source.schema.fields if f.name != payload_col}
+    ordered = ["url"] + [n for n in fields if n != "url"]
+    pass_cols = ", ".join(
+        f"{n} {fields[n].dataType.simpleString()}" for n in ordered
+    )
+    return f"{pass_cols}, {_ENTITY_COLS}, {_GEO_COLS}", ordered
+
+
+FUSED_ENTITY_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string,"
+    f" {_ENTITY_COLS}, {_GEO_COLS}"
 )
 
 
@@ -97,13 +133,20 @@ def decode_query(
     payload_col: str = "html",
     available_now: bool = True,
     trigger_seconds: int = 30,
+    with_geo: bool = False,
 ):
-    """Start the bronze decode query: payload stream -> entities parquet."""
-    from osm_pbf_convert_spark.sources.pbf import decode_entities
+    """Start the bronze decode query: payload stream -> entities parquet.
+    ``with_geo=True`` (pages mode) uses the FUSED decoder: the same parse
+    also emits each page's kind=3 geo-extent row (round 8 -- one parse
+    per payload instead of two)."""
+    from osm_pbf_convert_spark.sources.pbf import decode_entities, decode_entities_geo
 
-    entities = decode_entities(
-        source, payload_col=payload_col, passthrough=("url",), on_error="skip"
-    )
+    if with_geo:
+        entities = decode_entities_geo(source, payload_col=payload_col, on_error="skip")
+    else:
+        entities = decode_entities(
+            source, payload_col=payload_col, passthrough=("url",), on_error="skip"
+        )
     w = (
         entities.writeStream.format("parquet")
         .option("path", f"{out}/entities")
@@ -116,6 +159,87 @@ def decode_query(
     return w.start()
 
 
+def _hadoop_fs(sess: SparkSession, path: str):
+    """(FileSystem, Path) for a URI via the session's Hadoop conf."""
+    jvm = sess.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(sess.sparkContext._jsc.hadoopConfiguration()), p
+
+
+def _committed(fs, sess, path: str) -> bool:
+    """A parquet table dir is COMMITTED iff its _SUCCESS marker exists --
+    a bare directory can be the debris of a crashed overwrite."""
+    jvm = sess.sparkContext._jvm
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS"))
+
+
+def merge_finest_batch(
+    sess: SparkSession,
+    updated: DataFrame,
+    finest_path: str,
+    tmp_path: str,
+    tiles_path: str,
+    max_z: int,
+    min_z: int,
+) -> None:
+    """One tile-rollup micro-batch merge: upsert the CUMULATIVE per-tile
+    counts in ``updated`` into the finest table, re-derive the pyramid.
+
+    Crash-safe by a write-then-rename swap (round 8; ADVICE r7 high):
+
+    1. merge is computed against the last COMMITTED finest table --
+       committed means the ``_SUCCESS`` marker exists; a directory
+       without it is debris of a crashed overwrite and must NOT be read,
+       and (the old bug) a read failure must NOT silently degrade into
+       "first batch", which dropped every previously accumulated tile;
+    2. the merged table is written to ``tmp`` (its own ``_SUCCESS``
+       commits it), then swapped in via delete + rename -- both
+       directory-atomic on HDFS/local filesystems (object-store
+       deployments swap this body for a lakehouse MERGE, as the module
+       docs already prescribe);
+    3. a crash between the delete and the rename leaves a committed
+       ``tmp`` and no committed finest: the NEXT batch (or the
+       foreachBatch retry) completes the rename first, so the committed
+       state is always either the old or the new table, never a blend.
+
+    Idempotent under foreachBatch's at-least-once retries: update-mode
+    rows are cumulative counts keyed by tile, so re-merging the same
+    batch produces the identical table.
+    """
+    if not updated.take(1):
+        return
+    fs, _ = _hadoop_fs(sess, finest_path)
+    jvm = sess.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    finest_ok = _committed(fs, sess, finest_path)
+    if not finest_ok and _committed(fs, sess, tmp_path):
+        # crashed mid-swap: tmp IS the committed latest state -- finish
+        # the rename before merging this batch on top of it
+        if fs.exists(hpath(finest_path)):
+            fs.delete(hpath(finest_path), True)
+        if not fs.rename(hpath(tmp_path), hpath(finest_path)):
+            raise IOError(f"tile merge: swap recovery rename failed for {finest_path}")
+        sess.catalog.refreshByPath(finest_path)
+        finest_ok = True
+    if finest_ok:
+        # fail LOUD on a real read error of a committed table (transient
+        # IO must retry the batch, not reset the accumulated tiles)
+        old = sess.read.parquet(finest_path)
+        merged = old.join(updated.select("tile"), "tile", "left_anti").unionByName(updated)
+    else:
+        merged = updated  # genuinely the first batch: nothing committed yet
+    merged.write.mode("overwrite").parquet(tmp_path)
+    if fs.exists(hpath(finest_path)):
+        fs.delete(hpath(finest_path), True)
+    if not fs.rename(hpath(tmp_path), hpath(finest_path)):
+        raise IOError(f"tile merge: rename {tmp_path} -> {finest_path} failed")
+    sess.catalog.refreshByPath(finest_path)
+    sess.catalog.refreshByPath(tmp_path)
+    pyramid_from_finest(
+        sess.read.parquet(finest_path), max_z, min_z
+    ).write.mode("overwrite").parquet(tiles_path)
+
+
 def tile_rollup_query(
     spark: SparkSession,
     out: str,
@@ -124,13 +248,15 @@ def tile_rollup_query(
     min_z: int = 0,
     available_now: bool = True,
     trigger_seconds: int = 30,
+    entity_schema: str | None = None,
 ):
     """Start the silver tile query: entities stream -> running finest-tile
-    counts -> merged finest table + derived pyramid."""
+    counts -> merged finest table + derived pyramid (crash-safe merge:
+    ``merge_finest_batch``)."""
     from osm_pbf_convert_spark.functions.cells import morton_cell_col, tile_col
 
     nodes = (
-        spark.readStream.schema(ENTITY_SCHEMA)
+        spark.readStream.schema(entity_schema or ENTITY_SCHEMA)
         .parquet(f"{out}/entities")
         .filter(F.col("kind") == 0)
     )
@@ -143,25 +269,10 @@ def tile_rollup_query(
     tmp_path = f"{out}/_tiles_finest_tmp"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        # update-mode rows are the CUMULATIVE count per changed tile, so
-        # the merge is a keyed overwrite -- idempotent under foreachBatch
-        # retries. Two bounded writes (tmp then swap) because plain
-        # parquet cannot read and overwrite the same path in one job;
-        # Delta/Iceberg deployments replace this body with MERGE INTO.
-        sess = batch_df.sparkSession
-        updated = batch_df.select("tile", "cnt")
-        if not updated.take(1):
-            return
-        try:
-            old = sess.read.parquet(finest_path)
-            merged = old.join(updated.select("tile"), "tile", "left_anti").unionByName(updated)
-        except Exception:
-            merged = updated
-        merged.write.mode("overwrite").parquet(tmp_path)
-        sess.read.parquet(tmp_path).write.mode("overwrite").parquet(finest_path)
-        pyramid_from_finest(
-            sess.read.parquet(finest_path), max_z, min_z
-        ).write.mode("overwrite").parquet(tiles_path)
+        merge_finest_batch(
+            batch_df.sparkSession, batch_df.select("tile", "cnt"),
+            finest_path, tmp_path, tiles_path, max_z, min_z,
+        )
 
     w = (
         finest.writeStream.foreachBatch(merge)
@@ -175,20 +286,26 @@ def tile_rollup_query(
 
 
 def pages_geo_query(
-    source: DataFrame,
+    spark: SparkSession,
     out: str,
     checkpoint: str,
     available_now: bool = True,
     trigger_seconds: int = 30,
+    entity_schema: str = FUSED_ENTITY_SCHEMA,
+    pass_cols: tuple = ("url", "warc_ts", "text", "lang"),
 ):
-    """Start the pages_geo query: page -> its own geo extent, ZERO
-    shuffle (``decode_pages_geo`` aggregates page-locally inside the
-    decode pass -- the streaming replacement for the batch pipeline's
-    join against the materialized entities table; text passes through
-    byte-identical)."""
-    from osm_pbf_convert_spark.sources.pbf import decode_pages_geo
-
-    geo = decode_pages_geo(source, payload_col="html", on_error="skip")
+    """Start the pages_geo query: project the fused bronze table's kind=3
+    rows (page-local geo extents computed inside the ONE decode pass --
+    round 8; previously this stage re-parsed every html payload with
+    ``decode_pages_geo``). Reads ``{out}/entities`` as a stream, so the
+    sink->source handoff stays exactly-once; text passes through
+    byte-identical."""
+    geo = (
+        spark.readStream.schema(entity_schema)
+        .parquet(f"{out}/entities")
+        .filter(F.col("kind") == 3)
+        .select(*pass_cols, "n_geo", "min_ilat", "max_ilat", "min_ilon", "max_ilon")
+    )
     w = (
         geo.writeStream.format("parquet")
         .option("path", f"{out}/pages_geo")
@@ -281,11 +398,13 @@ def run_streaming_pipeline(
     if pages_dir:
         source = pages_stream(spark, pages_dir, pages_schema, **opts)
         payload_col = "html"
+        entity_schema, pass_cols = fused_entity_schema(source, payload_col)
     else:
         from osm_pbf_convert_spark.streaming.pbf_extracts import pbf_extract_stream
 
         source = pbf_extract_stream(spark, watch_dir)
         payload_col = "payload"
+        entity_schema, pass_cols = ENTITY_SCHEMA, ["url"]
 
     import time
 
@@ -297,6 +416,7 @@ def run_streaming_pipeline(
         q1 = decode_query(
             source, out, checkpoint, payload_col=payload_col,
             available_now=available_now, trigger_seconds=trigger_seconds,
+            with_geo=bool(pages_dir),
         )
         queries.append(("decode", q1))
         if available_now:
@@ -306,6 +426,7 @@ def run_streaming_pipeline(
         q2 = tile_rollup_query(
             spark, out, checkpoint, max_z=max_z, min_z=min_z,
             available_now=available_now, trigger_seconds=trigger_seconds,
+            entity_schema=entity_schema,
         )
         queries.append(("tiles", q2))
         if available_now:
@@ -314,8 +435,9 @@ def run_streaming_pipeline(
         if pages_dir:
             t0 = time.time()
             qg = pages_geo_query(
-                source, out, checkpoint,
+                spark, out, checkpoint,
                 available_now=available_now, trigger_seconds=trigger_seconds,
+                entity_schema=entity_schema, pass_cols=tuple(pass_cols),
             )
             queries.append(("pages_geo", qg))
             if available_now:
@@ -348,7 +470,11 @@ def run_streaming_pipeline(
     summary = {"out": out, "stages": [n for n, _ in queries],
                "stage_walls": stage_walls}
     try:
-        summary["n_entities"] = spark.read.parquet(f"{out}/entities").count()
+        # fused bronze (pages mode) holds kind=3 geo rows too: count only
+        # the entity rows, matching the batch decode
+        summary["n_entities"] = (
+            spark.read.parquet(f"{out}/entities").filter(F.col("kind") <= 2).count()
+        )
         summary["n_tile_rows"] = spark.read.parquet(f"{out}/tiles").count()
     except Exception:
         summary["n_entities"] = 0

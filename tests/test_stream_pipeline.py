@@ -70,7 +70,8 @@ class TestStreamPipeline:
         batch = decode_entities(
             spark.read.parquet(run["landing"]), on_error="skip"
         )
-        got = spark.read.parquet(f"{run['out']}/entities")
+        # fused bronze (r8): entity consumers filter out the kind=3 rows
+        got = spark.read.parquet(f"{run['out']}/entities").filter(F.col("kind") <= 2)
         assert _entity_checksum(got) == _entity_checksum(batch)
         assert run["summary"]["n_entities"] == batch.count()
 
@@ -139,13 +140,16 @@ class TestStreamPipeline:
         assert run["summary"]["n_dup_pairs_distinct"] == len(want)
 
     def test_rerun_is_idempotent(self, spark, run):
-        before = spark.read.parquet(f"{run['out']}/entities").count()
+        ents = lambda: spark.read.parquet(f"{run['out']}/entities").filter(
+            F.col("kind") <= 2
+        ).count()
+        before = ents()
         summary2 = run_streaming_pipeline(
             spark, out=run["out"], checkpoint=run["ckpt"],
             pages_dir=run["landing"], max_z=MAX_Z, lsh=LSH, timeout=300,
         )
         assert summary2["n_entities"] == before
-        assert spark.read.parquet(f"{run['out']}/entities").count() == before
+        assert ents() == before
 
 
 @pytest.mark.spark
@@ -184,3 +188,65 @@ class TestStreamPipelineExtracts:
             for r in spark.read.parquet(f"{out}/tiles").collect()
         }
         assert got_tiles == want
+
+
+@pytest.mark.spark
+class TestCrashSafeMerge:
+    """Round-8 durability fix (ADVICE r7 high): the tile foreachBatch
+    merge must survive a crash at ANY point of the tmp->finest swap
+    without silently dropping previously accumulated tiles (the old bare
+    ``except Exception: merged = updated`` treated any unreadable finest
+    table as 'first batch')."""
+
+    def _merge(self, spark, tmp_path, rows):
+        from osm_pbf_convert_spark.streaming.pipeline import merge_finest_batch
+
+        upd = spark.createDataFrame(rows, schema="tile long, cnt long")
+        merge_finest_batch(
+            spark, upd, str(tmp_path / "finest"), str(tmp_path / "tmp"),
+            str(tmp_path / "tiles"), max_z=4, min_z=2,
+        )
+
+    def _finest(self, spark, tmp_path):
+        return {
+            (r["tile"], r["cnt"])
+            for r in spark.read.parquet(str(tmp_path / "finest")).collect()
+        }
+
+    def test_normal_merge_accumulates(self, spark, tmp_path):
+        self._merge(spark, tmp_path, [(1, 5), (2, 3)])
+        self._merge(spark, tmp_path, [(2, 7), (9, 1)])  # cumulative upsert
+        assert self._finest(spark, tmp_path) == {(1, 5), (2, 7), (9, 1)}
+
+    def test_crash_between_delete_and_rename_recovers(self, spark, tmp_path):
+        import shutil
+
+        self._merge(spark, tmp_path, [(1, 5), (2, 3)])
+        # simulate the crash window: batch 2's merged table is committed
+        # in tmp, finest was deleted, rename never happened
+        self._merge(spark, tmp_path, [(2, 7)])
+        shutil.move(str(tmp_path / "finest"), str(tmp_path / "tmp"))
+        # the retry / next batch must first finish the swap, then merge
+        self._merge(spark, tmp_path, [(9, 1)])
+        assert self._finest(spark, tmp_path) == {(1, 5), (2, 7), (9, 1)}
+
+    def test_partial_tmp_debris_is_ignored(self, spark, tmp_path):
+        self._merge(spark, tmp_path, [(1, 5), (2, 3)])
+        # simulate a crash DURING the tmp write: directory exists but was
+        # never committed (no _SUCCESS) -- it must not be swapped in
+        (tmp_path / "tmp").mkdir()
+        (tmp_path / "tmp" / "part-garbage.parquet").write_bytes(b"\x00junk")
+        self._merge(spark, tmp_path, [(9, 1)])
+        assert self._finest(spark, tmp_path) == {(1, 5), (2, 3), (9, 1)}
+
+    def test_partial_finest_with_committed_tmp_prefers_tmp(self, spark, tmp_path):
+        import shutil
+
+        self._merge(spark, tmp_path, [(1, 5)])
+        # crash later in the window: finest partially deleted (marker
+        # gone), committed tmp holds the latest state
+        self._merge(spark, tmp_path, [(2, 7)])
+        shutil.copytree(str(tmp_path / "finest"), str(tmp_path / "tmp"))
+        (tmp_path / "finest" / "_SUCCESS").unlink()
+        self._merge(spark, tmp_path, [(9, 1)])
+        assert self._finest(spark, tmp_path) == {(1, 5), (2, 7), (9, 1)}

@@ -136,7 +136,8 @@ def main():
         failures.append(f"only {n_offsets} decode micro-batches (wanted >= {args.batches // 2})")
 
     batch_ent = decode_entities(pages, on_error="skip")
-    got_ent = spark.read.parquet(f"{out}/entities")
+    # fused bronze (r8): entity consumers filter out the kind=3 geo rows
+    got_ent = spark.read.parquet(f"{out}/entities").filter(F.col("kind") <= 2)
     if _entity_checksum(got_ent) != _entity_checksum(batch_ent):
         failures.append("entities checksum != batch decode")
 
