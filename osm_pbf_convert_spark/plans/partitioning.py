@@ -50,16 +50,30 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     this is never a cap, only a floor. Hash-partitions on ``key`` when
     given (deterministic under retries, no sort-before-repartition pass);
     round-robin otherwise.
+
+    The partition-count probe (``getNumPartitions`` on the planned RDD,
+    metadata only) plans the scan on the driver (~0.1 s); it is memoized per
+    semantic plan so repeated constructions of the same query pay it
+    once per session. A memo hit can go stale only if the SAME plan's
+    underlying files change mid-session, and then only the fan-out
+    decision is stale -- never results.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        memo_key = (id(df.sparkSession), df.semanticHash(), target)
+        n = _FAN_OUT_MEMO.get(memo_key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _FAN_OUT_MEMO[memo_key] = n
     except Exception:  # non-queryable plan (e.g. streaming): leave as-is
         return df
     if n >= target:
         return df
     return df.repartition(target, F.col(key)) if key else df.repartition(target)
+
+
+_FAN_OUT_MEMO: dict = {}
 
 
 def spatial_sort(df: DataFrame) -> DataFrame:
