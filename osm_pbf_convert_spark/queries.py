@@ -972,7 +972,12 @@ def q_tag_stats_by_kind(spark, sf_dir):
     framing -> zlib -> string table -> tags -> agg, oracle-checked."""
     from osm_pbf_convert_spark.sources.pbf import decode_entities
 
-    ent = decode_entities(_pages(spark, sf_dir))
+    # columns= prunes the Arrow assembly itself (round 8, guide §5): a
+    # tags-only consumer skips coordinate quantization and the
+    # refs/members builds, which Catalyst cannot prune out of a Python
+    # stage on its own. Values are pytest-pinned identical to the full
+    # decode; the DuckDB oracle is unchanged.
+    ent = decode_entities(_pages(spark, sf_dir), passthrough=(), columns=("kind", "tags"))
     return (
         ent.select(F.col("kind").cast("long").alias("kind"), F.explode(F.map_keys("tags")).alias("key"))
         .groupBy("kind", "key")

@@ -596,21 +596,48 @@ def decode_pages_geo(df: DataFrame, payload_col: str = "html", on_error: str = "
     return in_df.mapInArrow(fn, out_schema)
 
 
-def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None) -> DataFrame:
+_ENTITY_COL_TYPES = (
+    ("kind", "int"),
+    ("id", "bigint"),
+    ("lat", "double"),
+    ("lon", "double"),
+    ("ilat", "int"),
+    ("ilon", "int"),
+    ("tags", "map<string,string>"),
+    ("refs", "array<bigint>"),
+    ("members", "array<struct<member_type:int, ref:bigint, role:string>>"),
+)
+
+
+def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple = ("url",), on_error: str = "raise", bad_counter=None, columns: tuple | None = None) -> DataFrame:
     """ONE decode pass over the payloads emitting every entity kind in a
     tall union schema: kind 0=node, 1=way, 2=relation; node columns null on
     way rows and vice versa. Use when a pipeline consumes nodes AND ways
     (e.g. the flagship join): persist this and filter by kind -- halves the
     decode cost vs calling decode_nodes + decode_ways separately.
+
+    ``columns`` prunes the ARROW ASSEMBLY, not just the projection (round
+    8, guide §5: Catalyst cannot see inside the Python stage, so a
+    downstream ``.select`` alone still pays for coordinate quantization
+    and the refs/members builds): pass the subset of entity columns a
+    consumer needs (e.g. ``("kind", "tags")`` for tag statistics) and
+    only those arrays are built. Emitted values are identical to the
+    full decode's (pytest-pinned).
     """
     pcols = list(passthrough)
+    known = [c for c, _ in _ENTITY_COL_TYPES]
+    if columns is None:
+        sel = tuple(known)
+    else:
+        bad = set(columns) - set(known)
+        if bad:
+            raise ValueError(f"unknown entity columns: {sorted(bad)}")
+        sel = tuple(c for c in known if c in set(columns))
     in_df = df.select(*pcols, payload_col)
     schema_fields = [in_df.schema[c] for c in pcols]
-    out_schema = (
-        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
-        + ", kind int, id bigint, lat double, lon double, ilat int, ilon int,"
-        + " tags map<string,string>, refs array<bigint>,"
-        + " members array<struct<member_type:int, ref:bigint, role:string>>"
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in schema_fields]
+        + [f"{c} {t}" for c, t in _ENTITY_COL_TYPES if c in sel]
     )
     def fn(batches):
         for batch in batches:
@@ -618,7 +645,7 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
                 _safe_parse(buf, ("nodes", "ways", "relations"), on_error, bad_counter)
                 for buf in _iter_binary(batch.column(payload_col))
             ]
-            assembled = _entity_arrays(batch, per_row, pcols)
+            assembled = _entity_arrays(batch, per_row, pcols, columns=sel)
             if assembled is None:
                 continue
             yield pa.RecordBatch.from_arrays(*assembled)
@@ -629,11 +656,23 @@ def decode_entities(df: DataFrame, payload_col: str = "html", passthrough: tuple
 _MEMBER_T = pa.struct([("member_type", pa.int32()), ("ref", pa.int64()), ("role", pa.string())])
 
 
-def _entity_arrays(batch: pa.RecordBatch, per_row: list, pcols: list):
+def _entity_arrays(batch: pa.RecordBatch, per_row: list, pcols: list,
+                   columns: tuple | None = None):
     """Assemble the tall entity union arrays for one input batch of parsed
     payloads -- the shared body of ``decode_entities`` and the fused
     ``decode_entities_geo``. Returns (arrays, names) or None when the
-    batch decodes to zero entities."""
+    batch decodes to zero entities. ``columns`` (an ordered subset of the
+    entity columns) skips the assembly work of everything not requested --
+    coordinate quantization, the tag map build, the refs CSR, the members
+    struct build -- while kind/id (cheap; they define the row layout) are
+    always computed."""
+    sel = (
+        tuple(c for c, _ in _ENTITY_COL_TYPES) if columns is None else tuple(columns)
+    )
+    need_coords = bool({"lat", "lon", "ilat", "ilon"} & set(sel))
+    need_tags = "tags" in sel
+    need_refs = "refs" in sel
+    need_members = "members" in sel
     n_n = np.fromiter((len(p.nodes.ids) for p in per_row), dtype=np.int64, count=len(per_row))
     n_w = np.fromiter((len(p.ways.ids) for p in per_row), dtype=np.int64, count=len(per_row))
     n_r = np.fromiter((len(p.relations.ids) for p in per_row), dtype=np.int64, count=len(per_row))
@@ -653,73 +692,76 @@ def _entity_arrays(batch: pa.RecordBatch, per_row: list, pcols: list):
         id_l.append(np.concatenate([
             p.nodes.ids, np.asarray(p.ways.ids, np.int64), np.asarray(p.relations.ids, np.int64)
         ]))
-        lat_l.append(p.nodes.lat)
-        lon_l.append(p.nodes.lon)
-        tag_counts.append(p.nodes.tag_counts)
-        tag_keys.extend(p.nodes.tag_keys)
-        tag_vals.extend(p.nodes.tag_vals)
-        for d in p.ways.tags + p.relations.tags:
-            tag_counts.append(np.array([len(d)], np.int32))
-            tag_keys.extend(d.keys())
-            tag_vals.extend(d.values())
-        for r in p.ways.refs:
-            ref_counts.append(len(r))
-            refs_flat.append(r)
-        mem_counts.extend(len(m) for m in p.relations.members)
-        mem_flat.extend(m for ms in p.relations.members for m in ms)
+        if need_coords:
+            lat_l.append(p.nodes.lat)
+            lon_l.append(p.nodes.lon)
+        if need_tags:
+            tag_counts.append(p.nodes.tag_counts)
+            tag_keys.extend(p.nodes.tag_keys)
+            tag_vals.extend(p.nodes.tag_vals)
+            for d in p.ways.tags + p.relations.tags:
+                tag_counts.append(np.array([len(d)], np.int32))
+                tag_keys.extend(d.keys())
+                tag_vals.extend(d.values())
+        if need_refs:
+            for r in p.ways.refs:
+                ref_counts.append(len(r))
+                refs_flat.append(r)
+        if need_members:
+            mem_counts.extend(len(m) for m in p.relations.members)
+            mem_flat.extend(m for ms in p.relations.members for m in ms)
     kind = np.concatenate(kind_l)
     ids = np.concatenate(id_l)
     nodes_mask = kind == 0
     ways_mask = kind == 1
     rels_mask = kind == 2
-    lat = np.full(total, np.nan)
-    lon = np.full(total, np.nan)
-    lat[nodes_mask] = np.concatenate(lat_l) if lat_l else []
-    lon[nodes_mask] = np.concatenate(lon_l) if lon_l else []
-    ilat = np.zeros(total, np.int32)
-    ilon = np.zeros(total, np.int32)
-    ilat[nodes_mask] = quantize_np(lat[nodes_mask])
-    ilon[nodes_mask] = quantize_np(lon[nodes_mask])
-    # tags: per-entity counts were appended nodes-first per PAGE,
-    # then ways, then rels -- same order as kind/id construction
-    counts_all = np.concatenate(tag_counts) if tag_counts else np.empty(0, np.int32)
-    tags_arr = _tags_map_array(counts_all, tag_keys, tag_vals)
-    # refs list: null for non-way rows (vectorized CSR offsets)
-    per_row_refs = np.zeros(total, np.int64)
-    per_row_refs[ways_mask] = np.asarray(ref_counts, np.int64)
-    ref_off = np.zeros(total + 1, np.int32)
-    ref_off[1:] = np.cumsum(per_row_refs).astype(np.int32)
-    refs_child = (
-        np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64)
-    )
-    refs_arr = pa.ListArray.from_arrays(
-        pa.array(ref_off, pa.int32()), pa.array(refs_child, pa.int64()),
-    )
-    refs_arr = _mask_list(refs_arr, ways_mask)
-    per_row_mem = np.zeros(total, np.int64)
-    per_row_mem[rels_mask] = np.asarray(mem_counts, np.int64)
-    mem_off = np.zeros(total + 1, np.int32)
-    mem_off[1:] = np.cumsum(per_row_mem).astype(np.int32)
-    mem_struct = pa.array(
-        [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in mem_flat],
-        type=_MEMBER_T,
-    )
-    mem_arr = _mask_list(
-        pa.ListArray.from_arrays(pa.array(mem_off, pa.int32()), mem_struct), rels_mask
-    )
-    arrays = _passthrough_take(batch, pcols, repeats)
-    arrays += [
-        pa.array(kind, pa.int32()),
-        pa.array(ids, pa.int64()),
-        pa.array(lat, pa.float64()),
-        pa.array(lon, pa.float64()),
-        pa.array(ilat, pa.int32()),
-        pa.array(ilon, pa.int32()),
-        tags_arr,
-        refs_arr,
-        mem_arr,
-    ]
-    names = pcols + ["kind", "id", "lat", "lon", "ilat", "ilon", "tags", "refs", "members"]
+    out = {"kind": pa.array(kind, pa.int32()), "id": pa.array(ids, pa.int64())}
+    if need_coords:
+        lat = np.full(total, np.nan)
+        lon = np.full(total, np.nan)
+        lat[nodes_mask] = np.concatenate(lat_l) if lat_l else []
+        lon[nodes_mask] = np.concatenate(lon_l) if lon_l else []
+        ilat = np.zeros(total, np.int32)
+        ilon = np.zeros(total, np.int32)
+        ilat[nodes_mask] = quantize_np(lat[nodes_mask])
+        ilon[nodes_mask] = quantize_np(lon[nodes_mask])
+        out["lat"] = pa.array(lat, pa.float64())
+        out["lon"] = pa.array(lon, pa.float64())
+        out["ilat"] = pa.array(ilat, pa.int32())
+        out["ilon"] = pa.array(ilon, pa.int32())
+    if need_tags:
+        # tags: per-entity counts were appended nodes-first per PAGE,
+        # then ways, then rels -- same order as kind/id construction
+        counts_all = np.concatenate(tag_counts) if tag_counts else np.empty(0, np.int32)
+        out["tags"] = _tags_map_array(counts_all, tag_keys, tag_vals)
+    if need_refs:
+        # refs list: null for non-way rows (vectorized CSR offsets)
+        per_row_refs = np.zeros(total, np.int64)
+        per_row_refs[ways_mask] = np.asarray(ref_counts, np.int64)
+        ref_off = np.zeros(total + 1, np.int32)
+        ref_off[1:] = np.cumsum(per_row_refs).astype(np.int32)
+        refs_child = (
+            np.concatenate(refs_flat) if refs_flat else np.empty(0, np.int64)
+        )
+        refs_arr = pa.ListArray.from_arrays(
+            pa.array(ref_off, pa.int32()), pa.array(refs_child, pa.int64()),
+        )
+        out["refs"] = _mask_list(refs_arr, ways_mask)
+    if need_members:
+        per_row_mem = np.zeros(total, np.int64)
+        per_row_mem[rels_mask] = np.asarray(mem_counts, np.int64)
+        mem_off = np.zeros(total + 1, np.int32)
+        mem_off[1:] = np.cumsum(per_row_mem).astype(np.int32)
+        mem_struct = pa.array(
+            [{"member_type": t, "ref": r, "role": ro} for (t, r, ro) in mem_flat],
+            type=_MEMBER_T,
+        )
+        out["members"] = _mask_list(
+            pa.ListArray.from_arrays(pa.array(mem_off, pa.int32()), mem_struct),
+            rels_mask,
+        )
+    arrays = _passthrough_take(batch, pcols, repeats) + [out[c] for c in sel]
+    names = pcols + list(sel)
     return arrays, names
 
 

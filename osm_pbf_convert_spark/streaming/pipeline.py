@@ -240,6 +240,195 @@ def merge_finest_batch(
     ).write.mode("overwrite").parquet(tiles_path)
 
 
+def _pz_dirs(fs, jvm, root: str) -> dict:
+    """``{pz value: hadoop Path}`` of a table root's partition dirs."""
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(root)
+    if not fs.exists(p):
+        return {}
+    out = {}
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("pz="):
+            out[int(name[3:])] = st.getPath()
+    return out
+
+
+def _recover_partition_swaps(fs, jvm, table_root: str, tmp_root: str) -> None:
+    """Complete any partition swap a crash interrupted: a COMMITTED tmp
+    (root ``_SUCCESS``) whose ``pz=k`` dir is absent from the table root
+    is the authoritative latest state for that partition (the old dir was
+    already moved aside; renames are per-dir atomic, so a table partition
+    dir, when present, is always complete)."""
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(hpath(f"{tmp_root}/_SUCCESS")):
+        return
+    fs.mkdirs(hpath(table_root))
+    present = _pz_dirs(fs, jvm, table_root)
+    for pz, path in _pz_dirs(fs, jvm, tmp_root).items():
+        if pz not in present:
+            if not fs.rename(path, hpath(f"{table_root}/pz={pz}")):
+                raise IOError(
+                    f"tile merge: swap recovery rename failed for "
+                    f"{table_root}/pz={pz}"
+                )
+
+
+def _swap_partitions(fs, jvm, table_root: str, tmp_root: str, trash_root: str,
+                     pzs) -> int:
+    """Swap the listed ``pz`` partition dirs from tmp into the table:
+    old dir moves aside to trash (atomic rename -- never a recursive
+    delete inside the table root, which a crash could tear), new dir
+    renames in (atomic). Returns bytes swapped in. A crash between the
+    two renames leaves the committed tmp holding that partition's latest
+    state -- ``_recover_partition_swaps`` completes it on retry."""
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(table_root))
+    fs.mkdirs(hpath(trash_root))
+    nbytes = 0
+    for pz in pzs:
+        src = hpath(f"{tmp_root}/pz={pz}")
+        if not fs.exists(src):
+            continue  # zero rows planned for this partition in this batch
+        nbytes += fs.getContentSummary(src).getLength()
+        dst = hpath(f"{table_root}/pz={pz}")
+        if fs.exists(dst):
+            aside = hpath(f"{trash_root}/pz={pz}")
+            if fs.exists(aside):
+                fs.delete(aside, True)
+            if not fs.rename(dst, aside):
+                raise IOError(f"tile merge: move-aside failed for {dst}")
+        if not fs.rename(src, dst):
+            raise IOError(f"tile merge: rename {src} -> {dst} failed")
+    return nbytes
+
+
+def merge_finest_batch_incremental(
+    sess: SparkSession,
+    updated: DataFrame,
+    finest_path: str,
+    tiles_path: str,
+    max_z: int,
+    min_z: int,
+    anchor_z: int,
+    stats: list | None = None,
+) -> None:
+    """Incremental flavor of ``merge_finest_batch`` (round 8; VERDICT r7
+    item 3): per-batch WORK AND BYTES WRITTEN are proportional to the
+    tiles the batch actually changed, not to the accumulated table size.
+
+    Both tables are laid out as parquet partition dirs keyed by the
+    changed tile's ancestor at ``anchor_z`` (``pz = tile >> 2*(max_z -
+    anchor_z)``, <= 4^anchor_z dirs):
+
+    - **finest**: only partitions containing a changed tile are merged
+      (partition-pruned read) and rewritten; untouched regions are not
+      read, not written.
+    - **pyramid**: a tile at zoom z >= anchor_z descends from exactly one
+      ``pz`` region, so the changed partitions' [anchor_z..max_z] levels
+      are re-derived from just the merged finest partitions; the coarse
+      head [min_z..anchor_z) (< 4^anchor_z rows total) is re-aggregated
+      from the anchor level and lives in the sentinel dir ``pz=-1``.
+
+    Crash safety is the same committed-or-old contract as the full-table
+    swap, at partition granularity: the batch's output commits in tmp as
+    ONE write (root ``_SUCCESS``), each partition then swaps in by
+    atomic renames (old aside to trash, new in); a crash mid-swap leaves
+    every partition either old or new, never torn, and
+    ``_recover_partition_swaps`` completes pending renames before the
+    retry re-merges. Per-tile idempotence (update-mode rows are
+    CUMULATIVE counts) makes re-merging on a partially swapped table
+    yield the identical result. Do not mix with the full-table layout on
+    the same ``out`` dir.
+    """
+    if not updated.take(1):
+        return
+    eff_anchor = min(max(anchor_z, min_z), max_z)
+    fs, _ = _hadoop_fs(sess, finest_path)
+    jvm = sess.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    finest_tmp = f"{finest_path}__tmp"
+    tiles_tmp = f"{tiles_path}__tmp"
+    finest_trash = f"{finest_path}__trash"
+    tiles_trash = f"{tiles_path}__trash"
+    # 1. finish anything a crashed swap left pending, then clear debris
+    _recover_partition_swaps(fs, jvm, finest_path, finest_tmp)
+    _recover_partition_swaps(fs, jvm, tiles_path, tiles_tmp)
+    for trash in (finest_trash, tiles_trash):
+        fs.delete(hpath(trash), True)
+
+    shift = 2 * (max_z - eff_anchor)
+    upd = updated.withColumn("pz", F.shiftrightunsigned("tile", shift))
+    changed = sorted(r["pz"] for r in upd.select("pz").distinct().collect())
+    # 2. merge ONLY the changed partitions of the finest table
+    existing = _pz_dirs(fs, jvm, finest_path)
+    read_dirs = [str(existing[pz]) for pz in changed if pz in existing]
+    if read_dirs:
+        old = sess.read.option("basePath", finest_path).parquet(*read_dirs)
+        merged = (
+            old.join(upd.select("tile"), "tile", "left_anti")
+            .select("tile", "cnt", "pz")
+            .unionByName(upd.select("tile", "cnt", "pz"))
+        )
+    else:
+        merged = upd.select("tile", "cnt", "pz")
+    # one shuffle task per changed region (capped at the core count) ->
+    # exactly one data file per partition dir, no 200-task micro-stages
+    n_tasks = max(1, min(len(changed), sess.sparkContext.defaultParallelism))
+    merged.repartition(n_tasks, "pz").write.partitionBy("pz").mode(
+        "overwrite"
+    ).parquet(finest_tmp)
+    nbytes = _swap_partitions(fs, jvm, finest_path, finest_tmp, finest_trash, changed)
+    sess.catalog.refreshByPath(finest_path)
+    # 3. re-derive the pyramid for the changed regions only: tail levels
+    # [eff_anchor..max_z] from the just-committed finest partitions ...
+    changed_dirs = [f"{finest_path}/pz={pz}" for pz in changed]
+    mc = (
+        sess.read.option("basePath", finest_path)
+        .parquet(*changed_dirs)
+        .select("tile", "cnt")
+    )
+    tail = pyramid_from_finest(mc, max_z, eff_anchor).withColumn(
+        "pz", F.expr(f"shiftrightunsigned(tile, 2 * (z - {eff_anchor}))")
+    )
+    swap_pzs = list(changed)
+    out_df = tail
+    if min_z < eff_anchor:
+        # ... plus the coarse head [min_z..eff_anchor), re-aggregated from
+        # the GLOBAL anchor level (changed regions from the new tail,
+        # unchanged regions from the committed pyramid; < 4^anchor rows)
+        anchor_parts = [tail.filter(F.col("z") == eff_anchor).select("tile", "cnt")]
+        unchanged_dirs = [
+            str(p)
+            for pz, p in _pz_dirs(fs, jvm, tiles_path).items()
+            if pz not in changed and pz != -1
+        ]
+        if unchanged_dirs:
+            anchor_parts.append(
+                sess.read.option("basePath", tiles_path)
+                .parquet(*unchanged_dirs)
+                .filter(F.col("z") == eff_anchor)
+                .select("tile", "cnt")
+            )
+        anchor_level = anchor_parts[0]
+        for part in anchor_parts[1:]:
+            anchor_level = anchor_level.unionByName(part)
+        head = (
+            pyramid_from_finest(anchor_level, eff_anchor, min_z)
+            .filter(F.col("z") < eff_anchor)
+            .withColumn("pz", F.lit(-1))
+        )
+        out_df = tail.unionByName(head)
+        swap_pzs.append(-1)
+    out_df.repartition(n_tasks, "pz").write.partitionBy("pz").mode(
+        "overwrite"
+    ).parquet(tiles_tmp)
+    nbytes += _swap_partitions(fs, jvm, tiles_path, tiles_tmp, tiles_trash, swap_pzs)
+    sess.catalog.refreshByPath(tiles_path)
+    if stats is not None:
+        stats.append({"changed_pz": len(changed), "bytes_written": nbytes})
+
+
 def tile_rollup_query(
     spark: SparkSession,
     out: str,
@@ -249,10 +438,14 @@ def tile_rollup_query(
     available_now: bool = True,
     trigger_seconds: int = 30,
     entity_schema: str | None = None,
+    anchor_z: int | None = None,
+    merge_stats: list | None = None,
 ):
     """Start the silver tile query: entities stream -> running finest-tile
     counts -> merged finest table + derived pyramid (crash-safe merge:
-    ``merge_finest_batch``)."""
+    ``merge_finest_batch``; with ``anchor_z`` set, the INCREMENTAL
+    partition-pruned merge ``merge_finest_batch_incremental`` -- per-batch
+    bytes written proportional to changed tiles, not table size)."""
     from osm_pbf_convert_spark.functions.cells import morton_cell_col, tile_col
 
     nodes = (
@@ -269,10 +462,17 @@ def tile_rollup_query(
     tmp_path = f"{out}/_tiles_finest_tmp"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_finest_batch(
-            batch_df.sparkSession, batch_df.select("tile", "cnt"),
-            finest_path, tmp_path, tiles_path, max_z, min_z,
-        )
+        if anchor_z is not None:
+            merge_finest_batch_incremental(
+                batch_df.sparkSession, batch_df.select("tile", "cnt"),
+                finest_path, tiles_path, max_z, min_z, anchor_z,
+                stats=merge_stats,
+            )
+        else:
+            merge_finest_batch(
+                batch_df.sparkSession, batch_df.select("tile", "cnt"),
+                finest_path, tmp_path, tiles_path, max_z, min_z,
+            )
 
     w = (
         finest.writeStream.foreachBatch(merge)
@@ -381,10 +581,18 @@ def run_streaming_pipeline(
     trigger_seconds: int = 30,
     timeout: int = 600,
     source_options: dict | None = None,
+    tile_anchor_z: int | None = None,
+    merge_stats: list | None = None,
 ):
     """Run the composed pipeline. Exactly one of ``pages_dir`` (crawl
     pages parquet stream; enables the dedup stage) / ``watch_dir``
     (``.osm.pbf`` extract drops; no text, so no dedup stage).
+
+    ``tile_anchor_z`` switches the tile merge to the incremental
+    partition-pruned layout (``merge_finest_batch_incremental``): per
+    micro-batch, only the <= 4^anchor_z coarse regions a batch touched
+    are read and rewritten. Choose it once per ``out`` dir (the table
+    layouts differ).
 
     ``available_now=True`` drains each stage sequentially and returns a
     summary dict -- the replay mode (idempotently resumable: re-running
@@ -410,6 +618,7 @@ def run_streaming_pipeline(
 
     prev_provider = configure_state_store(spark, "rocksdb")
     stage_walls: dict[str, float] = {}
+    merge_stats = [] if merge_stats is None else merge_stats
     try:
         queries = []
         t0 = time.time()
@@ -426,7 +635,8 @@ def run_streaming_pipeline(
         q2 = tile_rollup_query(
             spark, out, checkpoint, max_z=max_z, min_z=min_z,
             available_now=available_now, trigger_seconds=trigger_seconds,
-            entity_schema=entity_schema,
+            entity_schema=entity_schema, anchor_z=tile_anchor_z,
+            merge_stats=merge_stats,
         )
         queries.append(("tiles", q2))
         if available_now:
@@ -469,6 +679,12 @@ def run_streaming_pipeline(
 
     summary = {"out": out, "stages": [n for n, _ in queries],
                "stage_walls": stage_walls}
+    if merge_stats:
+        summary["tile_merge"] = {
+            "batches": len(merge_stats),
+            "changed_pz": [s["changed_pz"] for s in merge_stats],
+            "bytes_written": [s["bytes_written"] for s in merge_stats],
+        }
     try:
         # fused bronze (pages mode) holds kind=3 geo rows too: count only
         # the entity rows, matching the batch decode

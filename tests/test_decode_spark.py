@@ -117,6 +117,37 @@ class TestDecodeEntities:
         assert en["refs"].isna().all() and en["members"].isna().all()
         assert ew["members"].isna().all()
 
+    def test_column_subset_matches_full_decode(self, spark, pages_df):
+        """``columns=`` prunes the Arrow assembly (round 8, guide §5:
+        tags-only consumers skip coordinate quantization and the
+        refs/members builds) without changing any emitted value."""
+        from pyspark.sql import functions as F
+
+        from osm_pbf_convert_spark.sources.pbf import decode_entities
+
+        full = decode_entities(pages_df)
+        sub = decode_entities(pages_df, passthrough=(), columns=("kind", "tags"))
+        assert sub.columns == ["kind", "tags"]
+        agg = lambda df: {
+            (r["kind"], r["key"], r["cnt"])
+            for r in df.select("kind", F.explode(F.map_keys("tags")).alias("key"))
+            .groupBy("kind", "key").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert agg(sub) == agg(full)
+        assert sub.count() == full.count()
+
+        ids = decode_entities(
+            pages_df, columns=("kind", "id", "ilat", "ilon")
+        )
+        assert ids.columns == ["url", "kind", "id", "ilat", "ilon"]
+        want = {
+            (r["url"], r["kind"], r["id"], r["ilat"], r["ilon"])
+            for r in full.select("url", "kind", "id", "ilat", "ilon").collect()
+        }
+        got = {tuple(r) for r in ids.collect()}
+        assert got == want
+
 
 @pytest.mark.spark
 class TestCorruptPayloads:

@@ -26,13 +26,18 @@ class TestNoSlowPath:
           text-source line-offset scan;
         - dedup._hyperplane_sign_matrix: planes x dim +-1 normals
           (~1 KB at the defaults), literalized once for the Arrow
-          bucketing pass.
+          bucketing pass;
+        - pipeline.merge_finest_batch_incremental: the DISTINCT changed
+          coarse regions of a micro-batch (<= 4^anchor_z ints, 256 at
+          the default anchor) -- the partition-pruning key list the
+          driver needs to know WHICH dirs to swap; never data rows.
 
         .rdd exemption (r8): partitioning.fan_out reads
         getNumPartitions() -- a plan-time METADATA probe (no data ever
         leaves the JVM) deciding whether a tiny scan must be fanned out
         before a per-row-heavy stage."""
-        collect_allowed = {"rel_store.py": 1, "tiling.py": 1, "dedup.py": 1}
+        collect_allowed = {"rel_store.py": 1, "tiling.py": 1, "dedup.py": 1,
+                           "pipeline.py": 1}
         rdd_allowed = {"partitioning.py": 1}
         bad = []
         for root, _, files in os.walk(PKG):
